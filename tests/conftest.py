@@ -1,0 +1,19 @@
+"""Test config: force JAX onto a virtual 8-device CPU mesh.
+
+Tests never touch the real TPU; device-semantics are identical under XLA:CPU,
+and an 8-device virtual platform lets sharding tests exercise real meshes
+(SURVEY.md §4: multi-host tests simulated via host_platform_device_count).
+"""
+
+import os
+import sys
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
