@@ -1,0 +1,371 @@
+"""Groth16: circuit-specific setup, prove, verify.
+
+The flagship proof system (SURVEY.md §7 stage 5), implementing the SNARK
+trait contract of the reference (snark/src/lib.rs:22-81) over the GR1CS
+R1CS predicate. Follows the arkworks/libsnark conventions:
+
+  * proof (A, B, C) with A, C in G1 and B in G2 (eprint 2016/260):
+      A = α + Σ z_i u_i(τ) + r δ
+      B = β + Σ z_i v_i(τ) + s δ
+      C = (Σ_{witness} z_i (β u_i + α v_i + w_i) + h(τ) Z(τ)) / δ + s A + r B1 − r s δ
+  * verify: e(A, B) = e(α, β) · e(Σ x_i γabc_i, γ) · e(C, δ), with the
+    public input NOT including the leading ONE (snark/src/lib.rs:59-66
+    convention — the vk encodes γabc_0).
+
+TPU split: synthesis is host-side; matrices ship to device once at setup
+(padded CSR inside the proving key); proving runs matvec -> NTT -> h and
+all MSMs on device; the verifier pairs on host.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.host import Fp
+from ..fields.params import CurveParams
+from ..ops.curve import get_g1_ops, get_g2_ops
+from ..ops.curve_host import host_g1, host_g2
+from ..ops.msm import FixedBasePlan, msm, scalars_to_digits
+from ..relations import (
+    ConstraintSystem,
+    ConstraintSystemRef,
+    OptimizationGoal,
+    R1CS_PREDICATE_LABEL,
+    SynthesisMode,
+    new_ref,
+)
+from .pairing import get_pairing
+from .qap import (
+    PaddedCsr,
+    WitnessMapPlan,
+    domain_size_for,
+    evaluate_variable_polys_at_tau,
+)
+
+
+@dataclass
+class VerifyingKey:
+    curve: CurveParams
+    alpha_g1: tuple
+    beta_g2: tuple
+    gamma_g2: tuple
+    delta_g2: tuple
+    gamma_abc_g1: list  # one affine G1 point per instance variable
+
+
+@dataclass
+class PreparedVerifyingKey:
+    vk: VerifyingKey
+    alpha_beta: Any  # e(alpha, beta) in Fq12
+    gamma_g2_neg: tuple
+    delta_g2_neg: tuple
+
+
+@dataclass
+class Proof:
+    a: tuple  # G1 affine
+    b: tuple  # G2 affine
+    c: tuple  # G1 affine
+
+
+@dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    beta_g1: tuple
+    delta_g1: tuple
+    # device-resident query tables (N, 3, K) projective Montgomery points
+    a_query: jnp.ndarray
+    b_g1_query: jnp.ndarray
+    b_g2_query: jnp.ndarray
+    h_query: jnp.ndarray
+    l_query: jnp.ndarray
+    # device-resident circuit matrices (padded CSR) + sizes
+    mat_a: PaddedCsr
+    mat_b: PaddedCsr
+    mat_c: PaddedCsr
+    num_instance: int
+    num_witness: int
+    num_constraints: int
+    domain_size: int
+
+
+# fixed-base table caches per curve (generator tables are circuit-independent)
+_G1_TABLES: dict = {}
+_G2_TABLES: dict = {}
+
+
+def _g1_fixed_base(curve: CurveParams):
+    key = curve.name
+    if key not in _G1_TABLES:
+        ops = get_g1_ops(curve)
+        plan = FixedBasePlan(ops, c=8)
+        hc = host_g1(curve)
+        table = plan.make_table(
+            hc.generator, hc, curve.fr.num_bits, ops.pack_affine_host
+        )
+        _G1_TABLES[key] = (plan, table)
+    return _G1_TABLES[key]
+
+
+def _g2_fixed_base(curve: CurveParams):
+    key = curve.name
+    if key not in _G2_TABLES:
+        ops = get_g2_ops(curve)
+        plan = FixedBasePlan(ops, c=8)
+        hc = host_g2(curve)
+        table = plan.make_table(
+            hc.generator, hc, curve.fr.num_bits, ops.pack_affine_host
+        )
+        _G2_TABLES[key] = (plan, table)
+    return _G2_TABLES[key]
+
+
+def _fixed_base_g1(curve: CurveParams, scalars: list[int]) -> jnp.ndarray:
+    """[s_i]G1 as a device (N, 3, L) array."""
+    plan, table = _g1_fixed_base(curve)
+    fr = Fp(curve.fr)
+    digits = scalars_to_digits(fr.to_limbs_array(scalars), plan.c, curve.fr.num_bits)
+    return plan(table, digits)
+
+
+def _fixed_base_g2(curve: CurveParams, scalars: list[int]) -> jnp.ndarray:
+    plan, table = _g2_fixed_base(curve)
+    fr = Fp(curve.fr)
+    digits = scalars_to_digits(fr.to_limbs_array(scalars), plan.c, curve.fr.num_bits)
+    return plan(table, digits)
+
+
+class Groth16:
+    """SNARK implementation (CircuitSpecificSetupSNARK flavor)."""
+
+    def __init__(self, curve: CurveParams):
+        self.curve = curve
+        self.fr = Fp(curve.fr)
+        self.g1_ops = get_g1_ops(curve)
+        self.g2_ops = get_g2_ops(curve)
+        self.hg1 = host_g1(curve)
+        self.hg2 = host_g2(curve)
+        self.pairing = get_pairing(curve)
+        self._wm_plans: dict[int, WitnessMapPlan] = {}
+
+    def _witness_plan(self, n: int) -> WitnessMapPlan:
+        if n not in self._wm_plans:
+            self._wm_plans[n] = WitnessMapPlan(self.curve.fr, n)
+        return self._wm_plans[n]
+
+    # ------------------------------------------------------------------
+    def circuit_specific_setup(self, circuit, rng: random.Random):
+        """-> (ProvingKey, VerifyingKey). Mirrors SNARK::circuit_specific_setup
+        (snark/src/lib.rs:43-46) with the canonical call shape of SURVEY §3.1."""
+        fr = self.fr
+        cs = new_ref(fr)
+        cs.set_optimization_goal(OptimizationGoal.Constraints)
+        cs.set_mode(SynthesisMode.setup())
+        circuit.generate_constraints(cs)
+        cs.finalize()
+        matrices = cs.to_matrices()[R1CS_PREDICATE_LABEL]
+        nc = cs.num_constraints()
+        ni = cs.num_instance_variables
+        nw = cs.num_witness_variables
+        m = ni + nw
+        n = domain_size_for(nc, ni)
+
+        # toxic waste
+        alpha = fr.rand(rng)
+        beta = fr.rand(rng)
+        gamma = fr.rand(rng)
+        delta = fr.rand(rng)
+        tau = fr.rand(rng)
+
+        u, v, w, z_tau = evaluate_variable_polys_at_tau(
+            self.curve.fr, matrices, nc, ni, m, tau
+        )
+        p = fr.p
+        gamma_inv = fr.inv(gamma)
+        delta_inv = fr.inv(delta)
+
+        gamma_abc = [
+            (beta * u[i] + alpha * v[i] + w[i]) % p * gamma_inv % p
+            for i in range(ni)
+        ]
+        l_scalars = [
+            (beta * u[i] + alpha * v[i] + w[i]) % p * delta_inv % p
+            for i in range(ni, m)
+        ]
+        zd = z_tau * delta_inv % p
+        h_scalars = []
+        t_pow = 1
+        for _ in range(n - 1):
+            h_scalars.append(t_pow * zd % p)
+            t_pow = t_pow * tau % p
+
+        # G1/G2 queries via device fixed-base MSM
+        a_query = _fixed_base_g1(self.curve, u)
+        b_g1_query = _fixed_base_g1(self.curve, v)
+        b_g2_query = _fixed_base_g2(self.curve, v)
+        h_query = _fixed_base_g1(self.curve, h_scalars)
+        l_query = _fixed_base_g1(self.curve, l_scalars)
+        gamma_abc_pts = self.g1_ops.to_affine_host(
+            _fixed_base_g1(self.curve, gamma_abc)
+        )
+
+        g1 = self.hg1
+        g2 = self.hg2
+        vk = VerifyingKey(
+            curve=self.curve,
+            alpha_g1=g1.scalar_mul(g1.generator, alpha),
+            beta_g2=g2.scalar_mul(g2.generator, beta),
+            gamma_g2=g2.scalar_mul(g2.generator, gamma),
+            delta_g2=g2.scalar_mul(g2.generator, delta),
+            gamma_abc_g1=gamma_abc_pts,
+        )
+
+        # device matrices for the prover (padded CSR; includes only the
+        # real constraint rows — consistency rows are appended at prove time)
+        fr_params = self.curve.fr
+        mat_a = PaddedCsr.from_rows(matrices[0], fr_params, nc)
+        mat_b = PaddedCsr.from_rows(matrices[1], fr_params, nc)
+        mat_c = PaddedCsr.from_rows(matrices[2], fr_params, nc)
+
+        pk = ProvingKey(
+            vk=vk,
+            beta_g1=g1.scalar_mul(g1.generator, beta),
+            delta_g1=g1.scalar_mul(g1.generator, delta),
+            a_query=a_query,
+            b_g1_query=b_g1_query,
+            b_g2_query=b_g2_query,
+            h_query=h_query,
+            l_query=l_query,
+            mat_a=mat_a,
+            mat_b=mat_b,
+            mat_c=mat_c,
+            num_instance=ni,
+            num_witness=nw,
+            num_constraints=nc,
+            domain_size=n,
+        )
+        return pk, vk
+
+    # alias for the CircuitSpecificSetupSNARK::setup default (lib.rs:84-93)
+    setup = circuit_specific_setup
+
+    # ------------------------------------------------------------------
+    def prove(self, pk: ProvingKey, circuit, rng: random.Random | None = None,
+              r: int | None = None, s: int | None = None) -> Proof:
+        """Synthesize the witness and produce (A, B, C).
+
+        Synthesis runs with construct_matrices=False — the device already
+        holds the CSR matrices from setup (a TPU-first deviation: arkworks
+        re-synthesizes matrices on every prove; see SynthesisMode knobs at
+        gr1cs/mod.rs:82-89 and bench.rs:95-98).
+        """
+        fr = self.fr
+        if r is None:
+            r = fr.rand(rng) if rng is not None else 0
+        if s is None:
+            s = fr.rand(rng) if rng is not None else 0
+
+        cs = new_ref(fr)
+        cs.set_mode(SynthesisMode.prove(construct_matrices=False,
+                                        generate_lc_assignments=False))
+        circuit.generate_constraints(cs)
+        z = cs.full_assignment()
+        assert len(z) == pk.num_instance + pk.num_witness
+
+        proof_dev = self._prove_from_assignment(pk, z, r, s)
+        return proof_dev
+
+    def _prove_from_assignment(self, pk: ProvingKey, z: list[int], r: int, s: int) -> Proof:
+        fr = self.fr
+        p = fr.p
+        n = pk.domain_size
+        ni = pk.num_instance
+        nc = pk.num_constraints
+        plan = self._witness_plan(n)
+        df = plan.df
+
+        # device witness vector (Montgomery) and the three constraint evals
+        z_mont = df.array(z)
+        a_rows = plan.matvec(pk.mat_a, z_mont)  # (nc, L)
+        b_rows = plan.matvec(pk.mat_b, z_mont)
+        c_rows = plan.matvec(pk.mat_c, z_mont)
+
+        pad = n - nc - ni
+        inst_mont = z_mont[:ni]
+        zeros_pad = jnp.zeros((pad, df.L), dtype=jnp.uint32)
+        zeros_inst = jnp.zeros((ni, df.L), dtype=jnp.uint32)
+        a_evals = jnp.concatenate([a_rows, inst_mont, zeros_pad], axis=0)
+        b_evals = jnp.concatenate([b_rows, zeros_inst, zeros_pad], axis=0)
+        c_evals = jnp.concatenate([c_rows, zeros_inst, zeros_pad], axis=0)
+
+        h_mont = plan.h_from_evals(a_evals, b_evals, c_evals)  # (n, L)
+        h_std = df.from_mont(h_mont[: n - 1])
+        h_limbs = np.asarray(h_std)
+
+        # MSMs
+        nbits = self.curve.fr.num_bits
+        z_limbs = fr.to_limbs_array(z)
+        a_acc = msm(self.g1_ops, pk.a_query, z_limbs, nbits)
+        b_acc = msm(self.g2_ops, pk.b_g2_query, z_limbs, nbits)
+        b1_acc = msm(self.g1_ops, pk.b_g1_query, z_limbs, nbits)
+        l_acc = msm(self.g1_ops, pk.l_query, z_limbs[ni:], nbits)
+        h_acc = msm(self.g1_ops, pk.h_query, h_limbs, nbits)
+
+        # assemble on host (O(1) point ops)
+        g1, g2 = self.hg1, self.hg2
+        vk = pk.vk
+        A_sum = self.g1_ops.to_affine_host(a_acc[None])[0]
+        B_sum = self.g2_ops.to_affine_host(b_acc[None])[0]
+        B1_sum = self.g1_ops.to_affine_host(b1_acc[None])[0]
+        L_sum = self.g1_ops.to_affine_host(l_acc[None])[0]
+        H_sum = self.g1_ops.to_affine_host(h_acc[None])[0]
+
+        A = g1.add(g1.add(vk.alpha_g1, A_sum), g1.scalar_mul(pk.delta_g1, r))
+        B = g2.add(g2.add(vk.beta_g2, B_sum), g2.scalar_mul(vk.delta_g2, s))
+        B1 = g1.add(g1.add(pk.beta_g1, B1_sum), g1.scalar_mul(pk.delta_g1, s))
+
+        C = g1.add(L_sum, H_sum)
+        C = g1.add(C, g1.scalar_mul(A, s))
+        C = g1.add(C, g1.scalar_mul(B1, r))
+        C = g1.add(C, g1.neg(g1.scalar_mul(pk.delta_g1, r * s % p)))
+        return Proof(a=A, b=B, c=C)
+
+    # ------------------------------------------------------------------
+    def process_vk(self, vk: VerifyingKey) -> PreparedVerifyingKey:
+        """Precompute the pairing terms (SNARK::process_vk, lib.rs:69-71)."""
+        alpha_beta = self.pairing.pairing(vk.alpha_g1, vk.beta_g2)
+        return PreparedVerifyingKey(
+            vk=vk,
+            alpha_beta=alpha_beta,
+            gamma_g2_neg=self.hg2.neg(vk.gamma_g2),
+            delta_g2_neg=self.hg2.neg(vk.delta_g2),
+        )
+
+    def verify_with_processed_vk(
+        self, pvk: PreparedVerifyingKey, public_input: list[int], proof: Proof
+    ) -> bool:
+        """public_input WITHOUT the leading ONE (lib.rs:76-80 convention)."""
+        vk = pvk.vk
+        assert len(public_input) == len(vk.gamma_abc_g1) - 1
+        g1 = self.hg1
+        acc = vk.gamma_abc_g1[0]
+        for x, pt in zip(public_input, vk.gamma_abc_g1[1:]):
+            acc = g1.add(acc, g1.scalar_mul(pt, x % self.fr.p))
+        lhs = self.pairing.multi_pairing(
+            [
+                (proof.a, proof.b),
+                (acc, pvk.gamma_g2_neg),
+                (proof.c, pvk.delta_g2_neg),
+            ]
+        )
+        return lhs == pvk.alpha_beta
+
+    def verify(self, vk: VerifyingKey, public_input: list[int], proof: Proof) -> bool:
+        """Default-impl shape: process_vk ∘ verify_with_processed_vk
+        (snark/src/lib.rs:59-66)."""
+        return self.verify_with_processed_vk(self.process_vk(vk), public_input, proof)

@@ -1,0 +1,250 @@
+"""Pippenger multi-scalar multiplication on device.
+
+TPU-native replacement for ark-ec's `VariableBaseMSM` (SURVEY.md §2.3, §7
+stage 4c). GPU MSMs scatter points into buckets; scatters are the worst op
+on TPU, so the bucket phase is recast as *sort + bucket-parallel serial
+scan* (SURVEY.md §7 "recast as sort-by-bucket + segmented scan"):
+
+  1. per window: sort point indices by digit (XLA sort — efficient on TPU);
+  2. each bucket's points are now contiguous; `searchsorted` finds bucket
+     boundaries;
+  3. a while-loop walks the buckets **in parallel** (one lane per bucket,
+     2^c lanes), accumulating one point per lane per step with the complete
+     addition formula — total work N adds per window, no scatter, and the
+     loop body is traced once (small XLA graph);
+  4. bucket reduction Σ b·B_b via a stride-doubling suffix scan (c steps) +
+     a stride-doubling total sum (c steps), both fixed-shape fori_loops;
+  5. windows combine with c doublings per window (Horner).
+
+Zero digits are skipped (bucket 0 length is forced to 0), so sparse scalar
+vectors cost nothing in the scan phase.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .curve import _CurveOpsBase
+
+
+def pick_window(n: int) -> int:
+    """Pippenger window size: ~log2(n) - 6, clamped to [4, 16]."""
+    if n <= 32:
+        return 4
+    return int(max(4, min(16, math.floor(math.log2(n)) - 6)))
+
+
+def scalars_to_digits(scalars: np.ndarray, c: int, num_bits: int) -> np.ndarray:
+    """(N, L) uint16-limb scalars -> (N, W) uint32 window digits (host).
+
+    `scalars` is the standard-form little-endian 16-bit-limb array (uint32
+    lanes); W = ceil(num_bits / c).
+    """
+    arr = np.asarray(scalars, dtype=np.uint32)
+    n, L = arr.shape
+    # bits, little-endian within the full scalar
+    bytes_le = arr.astype("<u2").view(np.uint8).reshape(n, 2 * L)
+    bits = np.unpackbits(bytes_le, axis=1, bitorder="little")  # (N, 16L)
+    W = -(-num_bits // c)
+    digits = np.zeros((n, W), dtype=np.uint32)
+    for w in range(W):
+        seg = bits[:, w * c : min((w + 1) * c, bits.shape[1])]
+        weights = (1 << np.arange(seg.shape[1], dtype=np.uint32)).astype(np.uint32)
+        digits[:, w] = seg @ weights
+    return digits
+
+
+def digits_from_limbs_device(limbs: jnp.ndarray, c: int, num_bits: int) -> jnp.ndarray:
+    """Device-side window-digit extraction for c dividing 16.
+
+    limbs (N, L) uint32 standard-form 16-bit limbs -> (N, W) uint32 digits.
+    Keeps the whole prove pipeline on device (no host round trip between
+    the NTT stage and the MSM stage).
+    """
+    assert 16 % c == 0, "device digit extraction needs c | 16"
+    per = 16 // c
+    n, L = limbs.shape
+    mask = jnp.uint32((1 << c) - 1)
+    parts = [(limbs >> (c * k)) & mask for k in range(per)]  # each (N, L)
+    digits = jnp.stack(parts, axis=-1).reshape(n, L * per)  # (N, W_full)
+    W = -(-num_bits // c)
+    return digits[:, :W]
+
+
+class MsmPlan:
+    """Jitted MSM executor for one (curve-ops, N, c) signature."""
+
+    def __init__(self, ops: _CurveOpsBase, c: int):
+        self.ops = ops
+        self.c = c
+        self._run = jax.jit(self._msm_impl)
+
+    def _bucket_phase(self, pts_sorted, d_sorted, n):
+        """Bucket-parallel serial accumulation -> (2^c, 3, K) bucket sums."""
+        ops = self.ops
+        c = self.c
+        nb = 1 << c
+        boundaries = jnp.searchsorted(
+            d_sorted, jnp.arange(nb + 1, dtype=d_sorted.dtype)
+        )  # (nb+1,)
+        start = boundaries[:-1]
+        length = boundaries[1:] - start
+        length = length.at[0].set(0)  # skip bucket 0 (digit 0 adds nothing)
+        max_len = jnp.max(length)
+
+        buckets0 = ops.identity_like((nb,))
+
+        def cond(state):
+            i, _ = state
+            return i < max_len
+
+        def body(state):
+            i, acc = state
+            idx = jnp.clip(start + i, 0, n - 1)
+            gathered = jnp.take(pts_sorted, idx, axis=0)  # (nb, 3, K)
+            summed = ops.add_impl(acc, gathered)
+            acc = ops.select(i < length, summed, acc)
+            return i + 1, acc
+
+        _, buckets = jax.lax.while_loop(cond, body, (jnp.uint32(0), buckets0))
+        return buckets
+
+    def _weighted_bucket_sum(self, buckets):
+        """Σ_b b · B_b via suffix scan + total sum, fixed-shape loops."""
+        ops = self.ops
+        c = self.c
+        nb = 1 << c
+
+        # suffix scan: S_b = Σ_{j >= b} B_j (stride-doubling, c steps)
+        def suffix_step(s, acc):
+            stride = jnp.uint32(1) << s
+            shifted = jnp.roll(acc, -stride.astype(jnp.int32), axis=0)
+            idx = jnp.arange(nb, dtype=jnp.uint32)
+            valid = idx + stride < nb
+            summed = ops.add_impl(acc, shifted)
+            return ops.select(valid, summed, acc)
+
+        suffix = jax.lax.fori_loop(0, c, suffix_step, buckets)
+
+        # window total = Σ_{b >= 1} S_b (the standard running-sum identity)
+        def sum_step(s, acc):
+            stride = jnp.uint32(1) << s
+            shifted = jnp.roll(acc, -stride.astype(jnp.int32), axis=0)
+            idx = jnp.arange(nb, dtype=jnp.uint32)
+            valid = idx + stride < nb
+            summed = ops.add_impl(acc, shifted)
+            return ops.select(valid, summed, acc)
+
+        # sum S_1..S_{nb-1}: zero out S_0 first
+        suffix = suffix.at[0].set(ops.IDENTITY)
+        total = jax.lax.fori_loop(0, c, sum_step, suffix)[0]
+        return total
+
+    def _msm_impl(self, points, digits):
+        """points (N, 3, K); digits (N, W) uint32 -> (3, K) point."""
+        ops = self.ops
+        c = self.c
+        n = points.shape[0]
+        W = digits.shape[1]
+
+        def window_body(w, acc):
+            # double c times, then add this window's bucket-weighted sum
+            def dbl(_, a):
+                return ops.double_impl(a)
+
+            acc = jax.lax.fori_loop(0, c, dbl, acc)
+            d = digits[:, W - 1 - w]
+            d_sorted, perm = jax.lax.sort_key_val(
+                d, jnp.arange(n, dtype=jnp.uint32)
+            )
+            pts_sorted = jnp.take(points, perm, axis=0)
+            buckets = self._bucket_phase(pts_sorted, d_sorted, n)
+            wsum = self._weighted_bucket_sum(buckets)
+            return ops.add_impl(acc, wsum)
+
+        acc0 = ops.IDENTITY
+        return jax.lax.fori_loop(0, W, window_body, acc0)
+
+    def __call__(self, points: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
+        return self._run(points, digits)
+
+
+_PLANS: dict = {}
+
+
+def get_msm_plan(ops: _CurveOpsBase, c: int) -> MsmPlan:
+    key = (id(ops), c)
+    plan = _PLANS.get(key)
+    if plan is None:
+        plan = MsmPlan(ops, c)
+        _PLANS[key] = plan
+    return plan
+
+
+def msm(
+    ops: _CurveOpsBase,
+    points: jnp.ndarray,
+    scalars_limbs: np.ndarray,
+    num_bits: int,
+    c: int | None = None,
+) -> jnp.ndarray:
+    """Variable-base MSM: Σ scalars[i] · points[i] -> one (3, K) point."""
+    n = points.shape[0]
+    c = c or pick_window(n)
+    digits = jnp.asarray(scalars_to_digits(scalars_limbs, c, num_bits))
+    return get_msm_plan(ops, c)(points, digits)
+
+
+# ---------------------------------------------------------------------------
+# fixed-base MSM (same base, many scalars) — the key-generation workload
+# ---------------------------------------------------------------------------
+
+
+class FixedBasePlan:
+    """[s_i]·G for a fixed G: windowed lookup tables + batched adds.
+
+    Table: (W, 2^c, 3, K) with table[w][d] = d · 2^{cw} · G. Each output is
+    W-1 batched complete additions after W gathers — no doublings at all.
+    """
+
+    def __init__(self, ops: _CurveOpsBase, c: int = 8):
+        self.ops = ops
+        self.c = c
+        self._run = jax.jit(self._impl)
+
+    def make_table(self, base_affine, host_curve, num_bits: int, pack) -> jnp.ndarray:
+        """Host-side table build (python ints), packed to device form."""
+        c = self.c
+        W = -(-num_bits // c)
+        rows = []
+        g = base_affine
+        for w in range(W):
+            row = [None]
+            acc = None
+            for _ in range((1 << c) - 1):
+                acc = host_curve.add(acc, g)
+                row.append(acc)
+            rows.append(pack(row))
+            for _ in range(c):
+                g = host_curve.double(g)
+        return jnp.stack(rows)  # (W, 2^c, 3, K)
+
+    def _impl(self, table, digits):
+        """table (W, 2^c, 3, K); digits (N, W) -> (N, 3, K)."""
+        ops = self.ops
+        N, W = digits.shape
+
+        def body(w, acc):
+            sel = jnp.take(table[w], digits[:, w], axis=0)  # (N, 3, K)
+            return ops.add_impl(acc, sel)
+
+        acc0 = ops.identity_like((N,))
+        return jax.lax.fori_loop(0, W, body, acc0)
+
+    def __call__(self, table, digits):
+        return self._run(table, jnp.asarray(digits))

@@ -8,8 +8,11 @@ and an 8-device virtual platform lets sharding tests exercise real meshes
 import os
 import sys
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Hard override: the ambient
+# environment points JAX_PLATFORMS at the real TPU tunnel (and a
+# sitecustomize registers that backend at interpreter startup), which is
+# wrong — and pathologically slow — for eager per-op test dispatch.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,3 +20,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.devices()
+assert len(jax.devices()) == 8, jax.devices()

@@ -1,0 +1,61 @@
+"""End-to-end Groth16: setup -> prove -> verify on both curves.
+
+The definitive integration oracle: a valid proof verifies; wrong public
+inputs and tampered proofs do not. Deterministic (r, s) also exercises the
+zero-randomness path.
+"""
+
+import random
+
+import pytest
+
+from snark_tpu.fields import BLS12_381, BN254
+from snark_tpu.groth16 import Groth16
+from snark_tpu.models import MulChainCircuit
+
+
+@pytest.mark.parametrize("curve", [BN254, BLS12_381], ids=lambda c: c.name)
+def test_groth16_end_to_end(curve):
+    rng = random.Random(42)
+    g16 = Groth16(curve)
+    n = 12  # constraints (domain rounds to 16)
+    circuit = MulChainCircuit(seed=7, n=n, batch=False)
+    pk, vk = g16.circuit_specific_setup(circuit, rng)
+
+    proof = g16.prove(pk, circuit, rng=rng)
+    public_input = [7 % curve.fr.modulus]  # x0 (without the leading ONE)
+    assert g16.verify(vk, public_input, proof)
+
+    # wrong public input fails
+    assert not g16.verify(vk, [8], proof)
+
+    # tampered proof fails
+    from snark_tpu.groth16.groth16 import Proof
+    bad = Proof(a=proof.c, b=proof.b, c=proof.a)
+    assert not g16.verify(vk, public_input, bad)
+
+
+def test_groth16_deterministic_rs():
+    curve = BN254
+    g16 = Groth16(curve)
+    circuit = MulChainCircuit(seed=3, n=8, batch=False)
+    rng = random.Random(1)
+    pk, vk = g16.circuit_specific_setup(circuit, rng)
+    p1 = g16.prove(pk, circuit, r=123, s=456)
+    p2 = g16.prove(pk, circuit, r=123, s=456)
+    assert p1 == p2  # fully deterministic with pinned randomness
+    assert g16.verify(vk, [3], p1)
+    p3 = g16.prove(pk, circuit, r=124, s=456)
+    assert p3 != p1
+    assert g16.verify(vk, [3], p3)  # different randomness, still valid
+
+
+def test_groth16_batch_circuit_path():
+    """The batch synthesis API produces the same provable system."""
+    curve = BN254
+    g16 = Groth16(curve)
+    rng = random.Random(5)
+    circuit = MulChainCircuit(seed=11, n=16, batch=True)
+    pk, vk = g16.circuit_specific_setup(circuit, rng)
+    proof = g16.prove(pk, circuit, rng=rng)
+    assert g16.verify(vk, [11], proof)
