@@ -125,19 +125,29 @@ def _g2_fixed_base(curve: CurveParams):
     return _G2_TABLES[key]
 
 
+def _padded_digits(curve: CurveParams, scalars: list[int], c: int) -> tuple:
+    """Digit matrix padded to a power-of-two batch (zero scalars -> identity
+    contributions), so fixed-base executables are shared across sizes."""
+    fr = Fp(curve.fr)
+    n = len(scalars)
+    n_pad = 1 << max(2, (n - 1).bit_length())
+    digits = scalars_to_digits(
+        fr.to_limbs_array(list(scalars) + [0] * (n_pad - n)), c, curve.fr.num_bits
+    )
+    return digits, n
+
+
 def _fixed_base_g1(curve: CurveParams, scalars: list[int]) -> jnp.ndarray:
     """[s_i]G1 as a device (N, 3, L) array."""
     plan, table = _g1_fixed_base(curve)
-    fr = Fp(curve.fr)
-    digits = scalars_to_digits(fr.to_limbs_array(scalars), plan.c, curve.fr.num_bits)
-    return plan(table, digits)
+    digits, n = _padded_digits(curve, scalars, plan.c)
+    return plan(table, digits)[:n]
 
 
 def _fixed_base_g2(curve: CurveParams, scalars: list[int]) -> jnp.ndarray:
     plan, table = _g2_fixed_base(curve)
-    fr = Fp(curve.fr)
-    digits = scalars_to_digits(fr.to_limbs_array(scalars), plan.c, curve.fr.num_bits)
-    return plan(table, digits)
+    digits, n = _padded_digits(curve, scalars, plan.c)
+    return plan(table, digits)[:n]
 
 
 class Groth16:

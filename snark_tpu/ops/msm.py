@@ -77,27 +77,41 @@ def digits_from_limbs_device(limbs: jnp.ndarray, c: int, num_bits: int) -> jnp.n
 
 
 class MsmPlan:
-    """Jitted MSM executor for one (curve-ops, N, c) signature."""
+    """Jitted MSM executor for one (curve-ops, c) pair.
 
-    def __init__(self, ops: _CurveOpsBase, c: int):
+    All W windows are processed together (batched sort, batched bucket scan,
+    batched reduction); the only sequential tail is the unavoidable
+    ~num_bits Horner doubling chain that combines window sums.
+    """
+
+    def __init__(self, ops: _CurveOpsBase, c: int, window_chunk: int | None = None):
         self.ops = ops
         self.c = c
+        # cap peak memory: the sorted-points gather materializes
+        # (window_chunk, N, 3, K) at once
+        self.window_chunk = window_chunk
         self._run = jax.jit(self._msm_impl)
 
-    def _bucket_phase(self, pts_sorted, d_sorted, n):
-        """Bucket-parallel serial accumulation -> (2^c, 3, K) bucket sums."""
+    def _window_sums(self, points, digits_t):
+        """points (N, 3, K); digits_t (W, N) -> per-window sums (W, 3, K)."""
         ops = self.ops
         c = self.c
         nb = 1 << c
-        boundaries = jnp.searchsorted(
-            d_sorted, jnp.arange(nb + 1, dtype=d_sorted.dtype)
-        )  # (nb+1,)
-        start = boundaries[:-1]
-        length = boundaries[1:] - start
-        length = length.at[0].set(0)  # skip bucket 0 (digit 0 adds nothing)
+        W, n = digits_t.shape
+
+        iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.uint32), (W, n))
+        d_sorted, perm = jax.lax.sort_key_val(digits_t, iota, dimension=-1)
+        pts_sorted = jnp.take(points, perm, axis=0)  # (W, N, 3, K)
+
+        # bucket boundaries per window
+        targets = jnp.broadcast_to(jnp.arange(nb + 1, dtype=jnp.uint32), (W, nb + 1))
+        boundaries = jax.vmap(jnp.searchsorted)(d_sorted, targets)  # (W, nb+1)
+        start = boundaries[:, :-1]
+        length = boundaries[:, 1:] - start
+        length = length.at[:, 0].set(0)  # bucket 0 contributes nothing
         max_len = jnp.max(length)
 
-        buckets0 = ops.identity_like((nb,))
+        buckets0 = ops.identity_like((W, nb))
 
         def cond(state):
             i, _ = state
@@ -105,70 +119,57 @@ class MsmPlan:
 
         def body(state):
             i, acc = state
-            idx = jnp.clip(start + i, 0, n - 1)
-            gathered = jnp.take(pts_sorted, idx, axis=0)  # (nb, 3, K)
+            idx = jnp.minimum(start + i, n - 1)  # (W, nb)
+            gathered = jnp.take_along_axis(
+                pts_sorted, idx[:, :, None, None], axis=1
+            )  # (W, nb, 3, K)
             summed = ops.add_impl(acc, gathered)
             acc = ops.select(i < length, summed, acc)
             return i + 1, acc
 
         _, buckets = jax.lax.while_loop(cond, body, (jnp.uint32(0), buckets0))
-        return buckets
 
-    def _weighted_bucket_sum(self, buckets):
-        """Σ_b b · B_b via suffix scan + total sum, fixed-shape loops."""
-        ops = self.ops
-        c = self.c
-        nb = 1 << c
-
-        # suffix scan: S_b = Σ_{j >= b} B_j (stride-doubling, c steps)
-        def suffix_step(s, acc):
-            stride = jnp.uint32(1) << s
-            shifted = jnp.roll(acc, -stride.astype(jnp.int32), axis=0)
-            idx = jnp.arange(nb, dtype=jnp.uint32)
-            valid = idx + stride < nb
+        # Σ_b b·B_b per window: suffix scan then total, stride-doubling,
+        # batched over windows. (Σ_{b>=1} S_b with S_b = Σ_{j>=b} B_j.)
+        def scan_step(s, acc):
+            stride = (jnp.int32(1) << s).astype(jnp.int32)
+            shifted = jnp.roll(acc, -stride, axis=1)
+            valid = jnp.arange(nb, dtype=jnp.int32) + stride < nb
             summed = ops.add_impl(acc, shifted)
-            return ops.select(valid, summed, acc)
+            return ops.select(jnp.broadcast_to(valid, (W, nb)), summed, acc)
 
-        suffix = jax.lax.fori_loop(0, c, suffix_step, buckets)
-
-        # window total = Σ_{b >= 1} S_b (the standard running-sum identity)
-        def sum_step(s, acc):
-            stride = jnp.uint32(1) << s
-            shifted = jnp.roll(acc, -stride.astype(jnp.int32), axis=0)
-            idx = jnp.arange(nb, dtype=jnp.uint32)
-            valid = idx + stride < nb
-            summed = ops.add_impl(acc, shifted)
-            return ops.select(valid, summed, acc)
-
-        # sum S_1..S_{nb-1}: zero out S_0 first
-        suffix = suffix.at[0].set(ops.IDENTITY)
-        total = jax.lax.fori_loop(0, c, sum_step, suffix)[0]
-        return total
+        suffix = jax.lax.fori_loop(0, c, scan_step, buckets)
+        suffix = suffix.at[:, 0].set(
+            jnp.broadcast_to(ops.IDENTITY, (W, 3, ops.K))
+        )
+        totals = jax.lax.fori_loop(0, c, scan_step, suffix)[:, 0]  # (W, 3, K)
+        return totals
 
     def _msm_impl(self, points, digits):
         """points (N, 3, K); digits (N, W) uint32 -> (3, K) point."""
         ops = self.ops
         c = self.c
-        n = points.shape[0]
         W = digits.shape[1]
+        wc = self.window_chunk or W
+        if wc >= W:
+            sums = self._window_sums(points, digits.T)
+        else:
+            dt = digits.T
+            parts = [
+                self._window_sums(points, dt[i : i + wc])
+                for i in range(0, W, wc)
+            ]
+            sums = jnp.concatenate(parts, axis=0)
 
+        # Horner over windows, most significant first
         def window_body(w, acc):
-            # double c times, then add this window's bucket-weighted sum
             def dbl(_, a):
                 return ops.double_impl(a)
 
             acc = jax.lax.fori_loop(0, c, dbl, acc)
-            d = digits[:, W - 1 - w]
-            d_sorted, perm = jax.lax.sort_key_val(
-                d, jnp.arange(n, dtype=jnp.uint32)
-            )
-            pts_sorted = jnp.take(points, perm, axis=0)
-            buckets = self._bucket_phase(pts_sorted, d_sorted, n)
-            wsum = self._weighted_bucket_sum(buckets)
-            return ops.add_impl(acc, wsum)
+            return ops.add_impl(acc, sums[W - 1 - w])
 
-        acc0 = ops.IDENTITY
-        return jax.lax.fori_loop(0, W, window_body, acc0)
+        return jax.lax.fori_loop(0, W, window_body, ops.IDENTITY)
 
     def __call__(self, points: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
         return self._run(points, digits)
@@ -177,13 +178,21 @@ class MsmPlan:
 _PLANS: dict = {}
 
 
-def get_msm_plan(ops: _CurveOpsBase, c: int) -> MsmPlan:
-    key = (id(ops), c)
+def get_msm_plan(
+    ops: _CurveOpsBase, c: int, window_chunk: int | None = None
+) -> MsmPlan:
+    key = (id(ops), c, window_chunk)
     plan = _PLANS.get(key)
     if plan is None:
-        plan = MsmPlan(ops, c)
+        plan = MsmPlan(ops, c, window_chunk)
         _PLANS[key] = plan
     return plan
+
+
+def memory_aware_window_chunk(n: int, k_limbs: int, budget_bytes: float = 4e9):
+    """Cap the (wc, N, 3, K) sorted-points gather at ~budget_bytes."""
+    per_window = n * 3 * k_limbs * 4
+    return max(1, int(budget_bytes // max(per_window, 1)))
 
 
 def msm(
@@ -193,11 +202,26 @@ def msm(
     num_bits: int,
     c: int | None = None,
 ) -> jnp.ndarray:
-    """Variable-base MSM: Σ scalars[i] · points[i] -> one (3, K) point."""
+    """Variable-base MSM: Σ scalars[i] · points[i] -> one (3, K) point.
+
+    Inputs are padded to the next power of two (identity points, zero
+    digits) so differently-sized queries share one compiled executable —
+    compile cache hits matter more than the <2x padding work.
+    """
     n = points.shape[0]
-    c = c or pick_window(n)
-    digits = jnp.asarray(scalars_to_digits(scalars_limbs, c, num_bits))
-    return get_msm_plan(ops, c)(points, digits)
+    n_pad = 1 << max(2, (n - 1).bit_length())
+    c = c or pick_window(n_pad)
+    digits = np.asarray(scalars_to_digits(scalars_limbs, c, num_bits))
+    if n_pad != n:
+        points = jnp.concatenate(
+            [points, ops.identity_like((n_pad - n,))], axis=0
+        )
+        digits = np.pad(digits, ((0, n_pad - n), (0, 0)))
+    wc = memory_aware_window_chunk(n_pad, points.shape[-1])
+    W = digits.shape[1]
+    if wc >= W:
+        wc = None
+    return get_msm_plan(ops, c, wc)(points, jnp.asarray(digits))
 
 
 # ---------------------------------------------------------------------------

@@ -26,3 +26,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.devices()
 assert len(jax.devices()) == 8, jax.devices()
+
+# Persistent compilation cache: this box has 2 vCPUs and XLA compiles of the
+# big-graph kernels (G2 MSM etc.) dominate test wall-clock. Cache survives
+# across pytest runs.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

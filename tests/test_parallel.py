@@ -1,0 +1,81 @@
+"""Mesh-sharded kernels on the virtual 8-device CPU mesh: distributed MSM
+(all_gather combine), six-step distributed NTT (all_to_all transposes),
+batched proving (vmap + dp sharding). Oracles: the single-device kernels."""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from snark_tpu.fields import BN254, BN254_FR, Fp
+from snark_tpu.groth16 import Groth16
+from snark_tpu.models import MulChainCircuit
+from snark_tpu.ops.curve import get_g1_ops
+from snark_tpu.ops.curve_host import host_g1
+from snark_tpu.ops.msm import msm, scalars_to_digits
+from snark_tpu.ops.ntt import get_ntt_plan
+from snark_tpu.parallel import DistNttPlan, local_mesh, sharded_msm
+
+
+def test_sharded_msm_matches_local():
+    curve = BN254
+    ops = get_g1_ops(curve)
+    hc = host_g1(curve)
+    fr = Fp(curve.fr)
+    rng = random.Random(30)
+    n = 32
+    base_pts = [hc.scalar_mul(hc.generator, rng.randrange(1, 2**30)) for _ in range(n)]
+    scalars = [fr.rand(rng) for _ in range(n)]
+    pts_dev = ops.pack_affine_host(base_pts)
+    limbs = fr.to_limbs_array(scalars)
+    nbits = curve.fr.num_bits
+
+    local = ops.to_affine_host(msm(ops, pts_dev, limbs, nbits, c=4)[None])[0]
+    want = hc.msm(base_pts, scalars)
+    assert local == want
+
+    mesh = local_mesh("shard", 8)
+    digits = scalars_to_digits(limbs, 4, nbits)
+    dist = sharded_msm(ops, mesh, "shard", pts_dev, np.asarray(digits), c=4)
+    got = ops.to_affine_host(dist[None])[0]
+    assert got == want
+
+
+def test_dist_ntt_matches_local():
+    params = BN254_FR
+    f = Fp(params)
+    n1, n2 = 16, 32
+    n = n1 * n2
+    rng = random.Random(31)
+    coeffs = [f.rand(rng) for _ in range(n)]
+    plan = get_ntt_plan(params, n)
+    dev = plan.df.array(coeffs)
+    want = f.from_mont_limbs_array(np.asarray(plan.fft(dev)))
+
+    mesh = local_mesh("x", 8)
+    dplan = DistNttPlan(params, n1, n2, mesh, "x")
+    got = f.from_mont_limbs_array(np.asarray(dplan.fft(dev)))
+    assert got == want
+
+
+def test_batch_prover():
+    from snark_tpu.parallel import BatchProver
+
+    curve = BN254
+    g16 = Groth16(curve)
+    rng = random.Random(32)
+    circuit0 = MulChainCircuit(seed=1, n=8, batch=False)
+    pk, vk = g16.circuit_specific_setup(circuit0, rng)
+
+    mesh = local_mesh("dp", 4)
+    seeds = [1, 2, 3, 4]
+    circuits = [MulChainCircuit(seed=s, n=8, batch=False) for s in seeds]
+    bp = BatchProver(g16, pk, mesh=mesh)
+    proofs = bp.prove_batch(circuits, rs=[(i + 1, 2 * i + 1) for i in range(4)])
+    pvk = g16.process_vk(vk)
+    for s, proof in zip(seeds, proofs):
+        assert g16.verify_with_processed_vk(pvk, [s], proof)
+    # cross-check against the single prover
+    single = g16.prove(pk, circuits[0], r=1, s=1)
+    assert g16.verify_with_processed_vk(pvk, [1], single)
