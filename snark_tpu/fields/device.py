@@ -36,11 +36,14 @@ MASK = jnp.uint32(LIMB_MASK)
 
 
 def _shift_limbs(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Shift limbs towards higher indices by k (zero fill), last axis."""
+    """Shift limbs towards higher indices by k (zero fill), last axis.
+
+    Single lax.pad (negative high padding drops the tail) — binds one
+    primitive, keeping trace time down on the hot path."""
     if k == 0:
         return x
-    pad = [(0, 0)] * (x.ndim - 1) + [(k, 0)]
-    return jnp.pad(x, pad)[..., : x.shape[-1]]
+    cfg = [(0, 0, 0)] * (x.ndim - 1) + [(k, -k, 0)]
+    return jax.lax.pad(x, jnp.uint32(0), cfg)
 
 
 def _sweep(x: jnp.ndarray) -> jnp.ndarray:
@@ -90,21 +93,23 @@ def _mul_wide(a: jnp.ndarray, b: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
         b = jnp.broadcast_to(b, batch + b.shape[-1:])
     La = a.shape[-1]
     Lb = b.shape[-1]
+    zero = jnp.uint32(0)
     P = a[..., :, None] * b[..., None, :]  # (..., La, Lb) exact in uint32
     lo = P & MASK
     hi = P >> LIMB_BITS
     # row i contributes lo at offset i and hi at offset i+1 -> width Lb+1
-    row = jnp.pad(lo, [(0, 0)] * (P.ndim - 1) + [(0, 1)]) + jnp.pad(
-        hi, [(0, 0)] * (P.ndim - 1) + [(1, 0)]
+    nb = [(0, 0, 0)] * (P.ndim - 1)
+    row = jax.lax.pad(lo, zero, nb + [(0, 1, 0)]) + jax.lax.pad(
+        hi, zero, nb + [(1, 0, 0)]
     )
     canvas = La + Lb  # every shifted row fits in [0, canvas)
-    row = jnp.pad(row, [(0, 0)] * (P.ndim - 1) + [(0, canvas - Lb)])
+    row = jax.lax.pad(row, zero, nb + [(0, canvas - Lb, 0)])
     flat = row.reshape(row.shape[:-2] + (La * (canvas + 1),))
     sheared = flat[..., : La * canvas].reshape(row.shape[:-2] + (La, canvas))
     z = jnp.sum(sheared, axis=-2, dtype=jnp.uint32)
     if out_limbs <= canvas:
         return z[..., :out_limbs]
-    return jnp.pad(z, [(0, 0)] * (z.ndim - 1) + [(0, out_limbs - canvas)])
+    return jax.lax.pad(z, zero, nb + [(0, out_limbs - canvas, 0)])
 
 
 class DeviceField:

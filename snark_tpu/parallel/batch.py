@@ -34,7 +34,10 @@ class BatchProver:
         self.plan = g16._witness_plan(n)
         nbits = g16.curve.fr.num_bits
         m = pk.num_instance + pk.num_witness
-        self.c = min(8, pick_window(m))  # device digit extraction needs c | 16
+        # device digit extraction needs c | 16: round pick_window down to a
+        # power of two, capped at 8
+        c = pick_window(m)
+        self.c = min(8, 1 << (c.bit_length() - 1))
         self.msm_g1 = MsmPlan(g16.g1_ops, self.c)
         self.msm_g2 = MsmPlan(g16.g2_ops, self.c)
         self._core = jax.jit(self._core_impl)

@@ -14,7 +14,11 @@ from snark_tpu.groth16 import Groth16
 from snark_tpu.models import MulChainCircuit
 
 
-@pytest.mark.parametrize("curve", [BN254, BLS12_381], ids=lambda c: c.name)
+@pytest.mark.parametrize(
+    "curve",
+    [BN254, pytest.param(BLS12_381, marks=pytest.mark.slow)],
+    ids=lambda c: getattr(c, "name", "bls12_381"),
+)
 def test_groth16_end_to_end(curve):
     rng = random.Random(42)
     g16 = Groth16(curve)

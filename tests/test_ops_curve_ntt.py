@@ -63,7 +63,11 @@ def test_device_g1_scalar_mul(curve):
         assert got == [hc.scalar_mul(hc.generator, k)]
 
 
-@pytest.mark.parametrize("curve", [BN254, BLS12_381], ids=lambda c: c.name)
+@pytest.mark.parametrize(
+    "curve",
+    [BN254, pytest.param(BLS12_381, marks=pytest.mark.slow)],
+    ids=lambda c: getattr(c, "name", "bls12_381"),
+)
 def test_device_g2_add(curve):
     ops = get_g2_ops(curve)
     hc = host_g2(curve)

@@ -59,6 +59,7 @@ def test_dist_ntt_matches_local():
     assert got == want
 
 
+@pytest.mark.slow
 def test_batch_prover():
     from snark_tpu.parallel import BatchProver
 

@@ -1,0 +1,89 @@
+"""Serialization round-trips (arkworks ark-serialize layout):
+field elements, compressed/uncompressed G1/G2, proofs, verifying keys."""
+
+import random
+
+import pytest
+
+from snark_tpu.fields import BLS12_381, BN254, Fp
+from snark_tpu.ops.curve_host import host_g1, host_g2
+from snark_tpu.snark import serialize as ser
+
+
+@pytest.mark.parametrize("curve", [BN254, BLS12_381], ids=lambda c: c.name)
+def test_fp_roundtrip_and_size(curve):
+    f = Fp(curve.fq)
+    rng = random.Random(40)
+    for x in [0, 1, f.p - 1] + [f.rand(rng) for _ in range(5)]:
+        raw = ser.serialize_fp(curve.fq, x)
+        assert len(raw) == curve.fq.num_bytes
+        y, off = ser.deserialize_fp(curve.fq, raw)
+        assert y == x and off == len(raw)
+
+
+@pytest.mark.parametrize("curve", [BN254, BLS12_381], ids=lambda c: c.name)
+@pytest.mark.parametrize("compress", [True, False])
+def test_g1_roundtrip(curve, compress):
+    hc = host_g1(curve)
+    pts = [None, hc.generator] + [
+        hc.scalar_mul(hc.generator, k) for k in (2, 3, 12345)
+    ]
+    for pt in pts:
+        raw = ser.serialize_g1(curve, pt, compress)
+        expected = curve.fq.num_bytes * (1 if compress else 2)
+        assert len(raw) == expected
+        got, off = ser.deserialize_g1(curve, raw, 0, compress)
+        assert got == pt and off == len(raw)
+
+
+@pytest.mark.parametrize("curve", [BN254, BLS12_381], ids=lambda c: c.name)
+@pytest.mark.parametrize("compress", [True, False])
+def test_g2_roundtrip(curve, compress):
+    hc = host_g2(curve)
+    pts = [None, hc.generator] + [hc.scalar_mul(hc.generator, k) for k in (2, 77)]
+    for pt in pts:
+        raw = ser.serialize_g2(curve, pt, compress)
+        expected = 2 * curve.fq.num_bytes * (1 if compress else 2)
+        assert len(raw) == expected
+        got, off = ser.deserialize_g2(curve, raw, 0, compress)
+        assert got == pt and off == len(raw)
+
+
+def test_bn254_g1_known_bytes():
+    """Generator (1, 2): x = 1 LE over 32 bytes; y = 2 is 'positive'
+    (2 < p/2) so no flags — pins the byte convention."""
+    raw = ser.serialize_g1(BN254, BN254.g1_generator, compress=True)
+    assert raw[0] == 1 and all(b == 0 for b in raw[1:])
+    # negated generator sets the NEGATIVE flag in the top bits of last byte
+    hc = host_g1(BN254)
+    raw_neg = ser.serialize_g1(BN254, hc.neg(BN254.g1_generator), compress=True)
+    assert raw_neg[-1] & ser.NEGATIVE_FLAG
+    # infinity flag
+    raw_inf = ser.serialize_g1(BN254, None, compress=True)
+    assert raw_inf[-1] & ser.INFINITY_FLAG
+
+
+def test_proof_and_vk_roundtrip():
+    """Proof/vk codecs round-trip without running a full setup."""
+    from snark_tpu.groth16.groth16 import Proof, VerifyingKey
+
+    curve = BN254
+    hg1, hg2 = host_g1(curve), host_g2(curve)
+    g1p = [hg1.scalar_mul(hg1.generator, k) for k in (5, 6, 7, 8)]
+    g2p = [hg2.scalar_mul(hg2.generator, k) for k in (9, 10, 11)]
+    proof = Proof(a=g1p[0], b=g2p[0], c=g1p[1])
+    raw = ser.serialize_proof(proof, curve)
+    assert len(raw) == 32 + 64 + 32  # compressed G1 + G2 + G1
+    assert ser.deserialize_proof(raw, curve) == proof
+
+    vk = VerifyingKey(
+        curve=curve,
+        alpha_g1=g1p[2],
+        beta_g2=g2p[1],
+        gamma_g2=g2p[2],
+        delta_g2=g2p[0],
+        gamma_abc_g1=[g1p[3], g1p[0], None],
+    )
+    raw = ser.serialize_vk(vk)
+    back = ser.deserialize_vk(raw, curve)
+    assert back == vk
