@@ -245,6 +245,31 @@ class DeviceField:
     def from_mont(self, a: jnp.ndarray) -> jnp.ndarray:
         return self.mul(a, self.ONE_STD)
 
+    # ----- host / MSM codecs -------------------------------------------
+    def to_host_ints(self, arr, mont: bool = True) -> list[int]:
+        """(..., L) device array -> canonical host ints."""
+        from .host import Fp
+
+        f = Fp(self.params)
+        a = np.asarray(arr)
+        return (
+            f.from_mont_limbs_array(a) if mont else f.from_limbs_array(a)
+        )
+
+    def window_digits(self, std_arr: jnp.ndarray, c: int, num_bits: int):
+        """Device windowed-digit extraction from standard-form limbs.
+
+        (N, L) uint32 16-bit limbs -> (N, W) uint32 digits; needs c | 16.
+        """
+        assert 16 % c == 0
+        per = 16 // c
+        n = std_arr.shape[0]
+        mask = jnp.uint32((1 << c) - 1)
+        parts = [(std_arr >> (c * k)) & mask for k in range(per)]
+        digits = jnp.stack(parts, axis=-1).reshape(n, self.L * per)
+        W = -(-num_bits // c)
+        return digits[:, :W]
+
     # ----- predicates / select -----------------------------------------
     def is_zero(self, a: jnp.ndarray) -> jnp.ndarray:
         """(...,) bool."""

@@ -30,7 +30,13 @@ from ..fields.host import Fp
 from ..fields.params import CurveParams
 from ..ops.curve import get_g1_ops, get_g2_ops
 from ..ops.curve_host import host_g1, host_g2
-from ..ops.msm import FixedBasePlan, msm, scalars_to_digits
+from ..ops.msm import (
+    FixedBasePlan,
+    msm,
+    msm_device_digits,
+    pick_window,
+    scalars_to_digits,
+)
 from ..relations import (
     ConstraintSystem,
     ConstraintSystemRef,
@@ -307,24 +313,27 @@ class Groth16:
 
         pad = n - nc - ni
         inst_mont = z_mont[:ni]
-        zeros_pad = jnp.zeros((pad, df.L), dtype=jnp.uint32)
-        zeros_inst = jnp.zeros((ni, df.L), dtype=jnp.uint32)
+        zeros_pad = jnp.zeros((pad, df.L), dtype=z_mont.dtype)
+        zeros_inst = jnp.zeros((ni, df.L), dtype=z_mont.dtype)
         a_evals = jnp.concatenate([a_rows, inst_mont, zeros_pad], axis=0)
         b_evals = jnp.concatenate([b_rows, zeros_inst, zeros_pad], axis=0)
         c_evals = jnp.concatenate([c_rows, zeros_inst, zeros_pad], axis=0)
 
-        h_mont = plan.h_from_evals(a_evals, b_evals, c_evals)  # (n, L)
+        h_mont = plan.h_from_evals(a_evals, b_evals, c_evals)  # (n, K)
         h_std = df.from_mont(h_mont[: n - 1])
-        h_limbs = np.asarray(h_std)
 
-        # MSMs
+        # MSMs: z digits extracted on host (any window size), h digits on
+        # device (stays on-chip; power-of-two window)
         nbits = self.curve.fr.num_bits
         z_limbs = fr.to_limbs_array(z)
         a_acc = msm(self.g1_ops, pk.a_query, z_limbs, nbits)
         b_acc = msm(self.g2_ops, pk.b_g2_query, z_limbs, nbits)
         b1_acc = msm(self.g1_ops, pk.b_g1_query, z_limbs, nbits)
         l_acc = msm(self.g1_ops, pk.l_query, z_limbs[ni:], nbits)
-        h_acc = msm(self.g1_ops, pk.h_query, h_limbs, nbits)
+        c_h = pick_window(max(4, n - 1))
+        c_h = 1 << (c_h.bit_length() - 1)  # device digit extraction: 2^k
+        h_digits = df.window_digits(h_std, c_h, nbits)
+        h_acc = msm_device_digits(self.g1_ops, pk.h_query, h_digits, c_h)
 
         # assemble on host (O(1) point ops)
         g1, g2 = self.hg1, self.hg2

@@ -25,9 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..fields import get_compute_field
 from ..fields.host import Fp
 from ..fields.params import FieldParams
-from ..fields.device import get_device_field
 from ..ops.ntt import get_ntt_plan
 
 
@@ -123,7 +123,7 @@ class PaddedCsr:
 
     @staticmethod
     def from_rows(rows, params: FieldParams, num_rows: int, width: int | None = None):
-        f = Fp(params)
+        df = get_compute_field(params)
         width = width or max((len(r) for r in rows), default=1)
         width = max(width, 1)
         cols = np.zeros((num_rows, width), dtype=np.int32)
@@ -132,8 +132,8 @@ class PaddedCsr:
             for k, (coeff, col) in enumerate(row):
                 cols[i, k] = col
                 vals[i * width + k] = coeff % params.modulus
-        coeffs = f.to_mont_limbs_array(vals).reshape(num_rows, width, -1)
-        return PaddedCsr(jnp.asarray(cols), jnp.asarray(coeffs), num_rows)
+        coeffs = df.array(vals).reshape(num_rows, width, -1)
+        return PaddedCsr(jnp.asarray(cols), coeffs, num_rows)
 
 
 class WitnessMapPlan:
@@ -142,7 +142,7 @@ class WitnessMapPlan:
     def __init__(self, params: FieldParams, domain_n: int):
         self.params = params
         self.n = domain_n
-        self.df = get_device_field(params)
+        self.df = get_compute_field(params)
         self.ntt = get_ntt_plan(params, domain_n)
         f = Fp(params)
         p = params.modulus

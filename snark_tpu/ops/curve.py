@@ -23,15 +23,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields.device import DeviceField, get_device_field
+from ..fields import get_compute_field
+from ..fields.device import DeviceField
 from ..fields.host import Fp
 from ..fields.params import CurveParams
 
 
 class DeviceFq2:
-    """Fq2 = Fq[u]/(u^2+1) over flattened (..., 2L) limb arrays."""
+    """Fq2 = Fq[u]/(u^2+1) over flattened (..., 2K) coordinate arrays
+    (generic over the base device-field implementation)."""
 
-    def __init__(self, base: DeviceField):
+    def __init__(self, base):
         self.base = base
         self.L = base.L
         self.K = 2 * base.L
@@ -211,29 +213,30 @@ class CurveOps(_CurveOpsBase):
 
     def __init__(self, curve: CurveParams):
         self.curve = curve
-        df = get_device_field(curve.fq)
+        df = get_compute_field(curve.fq)
         self.df = df
         super().__init__(df, df.const(3 * curve.b))
 
     def pack_affine_host(self, points: list[tuple[int, int] | None]) -> jnp.ndarray:
-        """Host affine (x, y) ints (None = identity) -> (N, 3, L) device
+        """Host affine (x, y) ints (None = identity) -> (N, 3, K) device
         projective Montgomery points."""
-        f = Fp(self.curve.fq)
+        df = self.df
         xs = [0 if pt is None else pt[0] for pt in points]
         ys = [1 if pt is None else pt[1] for pt in points]
         zs = [0 if pt is None else 1 for pt in points]
-        X = f.to_mont_limbs_array(xs)
-        Y = f.to_mont_limbs_array(ys)
-        Z = f.to_mont_limbs_array(zs)
+        X = np.asarray(df.array(xs))
+        Y = np.asarray(df.array(ys))
+        Z = np.asarray(df.array(zs))
         return jnp.asarray(np.stack([X, Y, Z], axis=1))
 
     def to_affine_host(self, pts: jnp.ndarray) -> list[tuple[int, int] | None]:
-        """(N, 3, L) device points -> host affine ints (None = identity)."""
+        """(N, 3, K) device points -> host affine ints (None = identity)."""
         f = Fp(self.curve.fq)
-        arr = np.asarray(pts).reshape(-1, 3, self.df.L)
-        Xs = f.from_mont_limbs_array(arr[:, 0])
-        Ys = f.from_mont_limbs_array(arr[:, 1])
-        Zs = f.from_mont_limbs_array(arr[:, 2])
+        df = self.df
+        arr = np.asarray(pts).reshape(-1, 3, self.K)
+        Xs = df.to_host_ints(arr[:, 0])
+        Ys = df.to_host_ints(arr[:, 1])
+        Zs = df.to_host_ints(arr[:, 2])
         out = []
         for x, y, z in zip(Xs, Ys, Zs):
             if z == 0:
@@ -245,11 +248,11 @@ class CurveOps(_CurveOpsBase):
 
 
 class G2CurveOps(_CurveOpsBase):
-    """G2 ops over Fq2 (flattened limb pairs)."""
+    """G2 ops over Fq2 (flattened coordinate pairs)."""
 
     def __init__(self, curve: CurveParams):
         self.curve = curve
-        df = get_device_field(curve.fq)
+        df = get_compute_field(curve.fq)
         self.df = df
         self.fq2 = DeviceFq2(df)
         b3c0 = 3 * curve.b2[0] % curve.fq.modulus
@@ -257,40 +260,40 @@ class G2CurveOps(_CurveOpsBase):
         super().__init__(self.fq2, self.fq2.const(b3c0, b3c1, curve))
 
     def pack_affine_host(self, points) -> jnp.ndarray:
-        """Host affine ((x0,x1),(y0,y1)) (None = identity) -> (N, 3, 2L)."""
-        f = Fp(self.curve.fq)
+        """Host affine ((x0,x1),(y0,y1)) (None = identity) -> (N, 3, 2K)."""
+        df = self.df
         x0 = [0 if pt is None else pt[0][0] for pt in points]
         x1 = [0 if pt is None else pt[0][1] for pt in points]
         y0 = [1 if pt is None else pt[1][0] for pt in points]
         y1 = [0 if pt is None else pt[1][1] for pt in points]
         z0 = [0 if pt is None else 1 for pt in points]
         z1 = [0] * len(points)
-        X = np.concatenate([f.to_mont_limbs_array(x0), f.to_mont_limbs_array(x1)], 1)
-        Y = np.concatenate([f.to_mont_limbs_array(y0), f.to_mont_limbs_array(y1)], 1)
-        Z = np.concatenate([f.to_mont_limbs_array(z0), f.to_mont_limbs_array(z1)], 1)
+
+        def pair(a, b):
+            return np.concatenate(
+                [np.asarray(df.array(a)), np.asarray(df.array(b))], 1
+            )
+
+        X, Y, Z = pair(x0, x1), pair(y0, y1), pair(z0, z1)
         return jnp.asarray(np.stack([X, Y, Z], axis=1))
 
     def to_affine_host(self, pts: jnp.ndarray):
         f = Fp(self.curve.fq)
-        L = self.df.L
-        arr = np.asarray(pts).reshape(-1, 3, 2 * L)
-        out = []
+        df = self.df
+        Kb = df.L  # base-field coordinate width
+        arr = np.asarray(pts).reshape(-1, 3, 2 * Kb)
         from ..fields.towers import Fq2 as HostFq2
 
         fq2 = HostFq2(f.p)
+        coords = {}
+        for ci in range(3):
+            coords[(ci, 0)] = df.to_host_ints(arr[:, ci, :Kb])
+            coords[(ci, 1)] = df.to_host_ints(arr[:, ci, Kb:])
+        out = []
         for i in range(arr.shape[0]):
-            x = (
-                f.from_mont_limbs_array(arr[i : i + 1, 0, :L])[0],
-                f.from_mont_limbs_array(arr[i : i + 1, 0, L:])[0],
-            )
-            y = (
-                f.from_mont_limbs_array(arr[i : i + 1, 1, :L])[0],
-                f.from_mont_limbs_array(arr[i : i + 1, 1, L:])[0],
-            )
-            z = (
-                f.from_mont_limbs_array(arr[i : i + 1, 2, :L])[0],
-                f.from_mont_limbs_array(arr[i : i + 1, 2, L:])[0],
-            )
+            x = (coords[(0, 0)][i], coords[(0, 1)][i])
+            y = (coords[(1, 0)][i], coords[(1, 1)][i])
+            z = (coords[(2, 0)][i], coords[(2, 1)][i])
             if fq2.is_zero(z):
                 out.append(None)
             else:

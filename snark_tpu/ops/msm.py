@@ -195,6 +195,27 @@ def memory_aware_window_chunk(n: int, k_limbs: int, budget_bytes: float = 4e9):
     return max(1, int(budget_bytes // max(per_window, 1)))
 
 
+def msm_device_digits(
+    ops: _CurveOpsBase, points: jnp.ndarray, digits: jnp.ndarray, c: int
+) -> jnp.ndarray:
+    """MSM where the window digits are already on device (N, W) uint32.
+
+    Same power-of-two padding policy as `msm` so executables are shared.
+    """
+    n = points.shape[0]
+    n_pad = 1 << max(2, (n - 1).bit_length())
+    if n_pad != n:
+        points = jnp.concatenate(
+            [points, ops.identity_like((n_pad - n,))], axis=0
+        )
+        digits = jnp.pad(digits, ((0, n_pad - n), (0, 0)))
+    wc = memory_aware_window_chunk(n_pad, points.shape[-1])
+    W = digits.shape[1]
+    if wc >= W:
+        wc = None
+    return get_msm_plan(ops, c, wc)(points, digits)
+
+
 def msm(
     ops: _CurveOpsBase,
     points: jnp.ndarray,

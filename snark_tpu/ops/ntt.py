@@ -20,9 +20,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..fields import get_compute_field
 from ..fields.host import Fp
 from ..fields.params import FieldParams
-from ..fields.device import DeviceField, get_device_field
 
 
 def _bit_reverse_indices(n: int) -> np.ndarray:
@@ -49,7 +49,7 @@ class NttPlan:
         self.params = params
         self.n = n
         self.log_n = n.bit_length() - 1
-        self.df = get_device_field(params)
+        self.df = get_compute_field(params)
         f = Fp(params)
         p = params.modulus
         omega = params.root_of_unity(n)
@@ -68,7 +68,7 @@ class NttPlan:
                 for _ in range(half):
                     vals.append(pw)
                     pw = pw * w % p
-                tables.append(jnp.asarray(f.to_mont_limbs_array(vals)))
+                tables.append(self.df.array(vals))
             return tables
 
         self.fwd_twiddles = stage_tables(omega)
@@ -85,8 +85,8 @@ class NttPlan:
                 ipows.append(y)
                 x = x * g % p
                 y = y * g_inv % p
-            self.coset_scale = jnp.asarray(f.to_mont_limbs_array(pows))
-            self.coset_unscale = jnp.asarray(f.to_mont_limbs_array(ipows))
+            self.coset_scale = self.df.array(pows)
+            self.coset_unscale = self.df.array(ipows)
         else:
             self.coset_scale = None
             self.coset_unscale = None

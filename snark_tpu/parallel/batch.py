@@ -18,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..fields.host import Fp
 from ..groth16.groth16 import Groth16, Proof, ProvingKey
-from ..ops.msm import MsmPlan, digits_from_limbs_device, pick_window
+from ..ops.msm import MsmPlan, pick_window, scalars_to_digits
 from ..relations import SynthesisMode, new_ref
 
 
@@ -42,8 +42,8 @@ class BatchProver:
         self.msm_g2 = MsmPlan(g16.g2_ops, self.c)
         self._core = jax.jit(self._core_impl)
 
-    def _core_impl(self, z_mont, z_std):
-        """z_mont/z_std: (B, M, L) -> five (B, 3, K) MSM accumulators."""
+    def _core_impl(self, z_mont, z_digits):
+        """z_mont (B, M, K), z_digits (B, M, W) -> five (B, 3, K) MSM accs."""
         pk = self.pk
         plan = self.plan
         df = plan.df
@@ -51,25 +51,24 @@ class BatchProver:
         n, ni, nc = pk.domain_size, pk.num_instance, pk.num_constraints
         nbits = g16.curve.fr.num_bits
 
-        def one(zm, zs):
+        def one(zm, zd):
             a_rows = plan._matvec_impl(pk.mat_a.cols, pk.mat_a.coeffs, zm)
             b_rows = plan._matvec_impl(pk.mat_b.cols, pk.mat_b.coeffs, zm)
             c_rows = plan._matvec_impl(pk.mat_c.cols, pk.mat_c.coeffs, zm)
             pad = n - nc - ni
-            zeros_pad = jnp.zeros((pad, df.L), dtype=jnp.uint32)
-            zeros_inst = jnp.zeros((ni, df.L), dtype=jnp.uint32)
+            zeros_pad = jnp.zeros((pad, df.L), dtype=zm.dtype)
+            zeros_inst = jnp.zeros((ni, df.L), dtype=zm.dtype)
             a_evals = jnp.concatenate([a_rows, zm[:ni], zeros_pad], axis=0)
             b_evals = jnp.concatenate([b_rows, zeros_inst, zeros_pad], axis=0)
             c_evals = jnp.concatenate([c_rows, zeros_inst, zeros_pad], axis=0)
             h_mont = plan._h_impl(a_evals, b_evals, c_evals)
             h_std = df.from_mont_impl(h_mont[: n - 1])
+            h_digits = df.window_digits(h_std, self.c, nbits)
 
-            z_digits = digits_from_limbs_device(zs, self.c, nbits)
-            h_digits = digits_from_limbs_device(h_std, self.c, nbits)
-            a_acc = self.msm_g1._msm_impl(pk.a_query, z_digits)
-            b_acc = self.msm_g2._msm_impl(pk.b_g2_query, z_digits)
-            b1_acc = self.msm_g1._msm_impl(pk.b_g1_query, z_digits)
-            l_acc = self.msm_g1._msm_impl(pk.l_query, z_digits[ni:])
+            a_acc = self.msm_g1._msm_impl(pk.a_query, zd)
+            b_acc = self.msm_g2._msm_impl(pk.b_g2_query, zd)
+            b1_acc = self.msm_g1._msm_impl(pk.b_g1_query, zd)
+            l_acc = self.msm_g1._msm_impl(pk.l_query, zd[ni:])
             h_acc = self.msm_g1._msm_impl(pk.h_query, h_digits)
             return a_acc, b_acc, b1_acc, l_acc, h_acc
 
@@ -77,8 +76,8 @@ class BatchProver:
         if self.mesh is not None:
             sh = NamedSharding(self.mesh, P(self.axis))
             z_mont = jax.lax.with_sharding_constraint(z_mont, sh)
-            z_std = jax.lax.with_sharding_constraint(z_std, sh)
-        return fn(z_mont, z_std)
+            z_digits = jax.lax.with_sharding_constraint(z_digits, sh)
+        return fn(z_mont, z_digits)
 
     def prove_batch(self, circuits, rng=None, rs=None) -> list[Proof]:
         """Synthesize each circuit's witness, prove the whole batch on
@@ -100,10 +99,13 @@ class BatchProver:
         B = len(zs)
         flat = [v for z in zs for v in z]
         M = len(zs[0])
-        z_std = jnp.asarray(fr.to_limbs_array(flat)).reshape(B, M, -1)
-        z_mont = jnp.asarray(fr.to_mont_limbs_array(flat)).reshape(B, M, -1)
+        nbits = g16.curve.fr.num_bits
+        z_digits = jnp.asarray(
+            scalars_to_digits(fr.to_limbs_array(flat), self.c, nbits)
+        ).reshape(B, M, -1)
+        z_mont = self.plan.df.array(flat, mont=True).reshape(B, M, -1)
 
-        a_acc, b_acc, b1_acc, l_acc, h_acc = self._core(z_mont, z_std)
+        a_acc, b_acc, b1_acc, l_acc, h_acc = self._core(z_mont, z_digits)
 
         if rs is None:
             rs = [

@@ -27,9 +27,9 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
+from ..fields import get_compute_field
 from ..fields.host import Fp
 from ..fields.params import FieldParams
-from ..fields.device import get_device_field
 from ..ops.ntt import get_ntt_plan
 
 
@@ -42,7 +42,7 @@ class DistNttPlan:
         self.n = n1 * n2
         self.mesh = mesh
         self.axis = axis
-        self.df = get_device_field(params)
+        self.df = get_compute_field(params)
         self.plan1 = get_ntt_plan(params, n1, coset=False)
         self.plan2 = get_ntt_plan(params, n2, coset=False)
         f = Fp(params)
@@ -59,9 +59,7 @@ class DistNttPlan:
                 val = val * base % p
             rows.append(row)
         flat = [v for row in rows for v in row]
-        self.twiddle = jnp.asarray(f.to_mont_limbs_array(flat)).reshape(
-            n1, n2, self.df.L
-        )
+        self.twiddle = self.df.array(flat).reshape(n1, n2, self.df.L)
         self._run = jax.jit(self._build())
 
     def _build(self):

@@ -13,6 +13,12 @@ import sys
 # sitecustomize registers that backend at interpreter startup), which is
 # wrong — and pathologically slow — for eager per-op test dispatch.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The f32-digit field is the TPU production path (fastest by ~540x there),
+# but its larger XLA graphs compile slowly on this 2-vCPU test box. The
+# kernels are generic over the field implementation, so the CPU suite runs
+# them over the uint32 field; f32 correctness is covered by its unit tests
+# + the subprocess integration test (test_f32_integration.py).
+os.environ.setdefault("SNARK_TPU_FIELD_IMPL", "u32")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -104,11 +104,11 @@ def test_ntt_roundtrip_and_reference(params):
         return acc
 
     want = [poly_eval(pow(g, i, p)) for i in range(n)]
-    got = f.from_mont_limbs_array(np.asarray(evals))
+    got = plan.df.to_host_ints(evals)
     assert got == want
     # inverse round-trip
     back = plan.ifft(evals)
-    assert f.from_mont_limbs_array(np.asarray(back)) == coeffs
+    assert plan.df.to_host_ints(back) == coeffs
 
 
 def test_ntt_coset_roundtrip():
@@ -132,6 +132,6 @@ def test_ntt_coset_roundtrip():
         return acc
 
     want = [poly_eval(g * pow(w, i, p) % p) for i in range(n)]
-    assert f.from_mont_limbs_array(np.asarray(ev)) == want
+    assert plan.df.to_host_ints(ev) == want
     back = plan.coset_ifft(ev)
-    assert f.from_mont_limbs_array(np.asarray(back)) == coeffs
+    assert plan.df.to_host_ints(back) == coeffs

@@ -51,11 +51,11 @@ def test_dist_ntt_matches_local():
     coeffs = [f.rand(rng) for _ in range(n)]
     plan = get_ntt_plan(params, n)
     dev = plan.df.array(coeffs)
-    want = f.from_mont_limbs_array(np.asarray(plan.fft(dev)))
+    want = plan.df.to_host_ints(plan.fft(dev))
 
     mesh = local_mesh("x", 8)
     dplan = DistNttPlan(params, n1, n2, mesh, "x")
-    got = f.from_mont_limbs_array(np.asarray(dplan.fft(dev)))
+    got = dplan.df.to_host_ints(dplan.fft(dev))
     assert got == want
 
 
