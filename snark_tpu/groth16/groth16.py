@@ -34,6 +34,7 @@ from ..ops.msm import (
     FixedBasePlan,
     msm,
     msm_device_digits,
+    msm_host_combine,
     pick_window,
     scalars_to_digits,
 )
@@ -322,27 +323,28 @@ class Groth16:
         h_mont = plan.h_from_evals(a_evals, b_evals, c_evals)  # (n, K)
         h_std = df.from_mont(h_mont[: n - 1])
 
-        # MSMs: z digits extracted on host (any window size), h digits on
-        # device (stays on-chip; power-of-two window)
+        # MSMs: device bucket sums + host window combine (the sequential
+        # doubling tail is latency-bound batch-1 work — host is faster).
+        # z digits extracted on host; h digits on device (stay on-chip).
         nbits = self.curve.fr.num_bits
         z_limbs = fr.to_limbs_array(z)
-        a_acc = msm(self.g1_ops, pk.a_query, z_limbs, nbits)
-        b_acc = msm(self.g2_ops, pk.b_g2_query, z_limbs, nbits)
-        b1_acc = msm(self.g1_ops, pk.b_g1_query, z_limbs, nbits)
-        l_acc = msm(self.g1_ops, pk.l_query, z_limbs[ni:], nbits)
+        m = len(z)
+        c_z = pick_window(m)
+        z_digits = scalars_to_digits(z_limbs, c_z, nbits)
+        A_sum = msm_host_combine(self.g1_ops, self.hg1, pk.a_query, z_digits, c_z)
+        B_sum = msm_host_combine(self.g2_ops, self.hg2, pk.b_g2_query, z_digits, c_z)
+        B1_sum = msm_host_combine(self.g1_ops, self.hg1, pk.b_g1_query, z_digits, c_z)
+        L_sum = msm_host_combine(
+            self.g1_ops, self.hg1, pk.l_query, z_digits[ni:], c_z
+        )
         c_h = pick_window(max(4, n - 1))
         c_h = 1 << (c_h.bit_length() - 1)  # device digit extraction: 2^k
         h_digits = df.window_digits(h_std, c_h, nbits)
-        h_acc = msm_device_digits(self.g1_ops, pk.h_query, h_digits, c_h)
+        H_sum = msm_host_combine(self.g1_ops, self.hg1, pk.h_query, h_digits, c_h)
 
         # assemble on host (O(1) point ops)
         g1, g2 = self.hg1, self.hg2
         vk = pk.vk
-        A_sum = self.g1_ops.to_affine_host(a_acc[None])[0]
-        B_sum = self.g2_ops.to_affine_host(b_acc[None])[0]
-        B1_sum = self.g1_ops.to_affine_host(b1_acc[None])[0]
-        L_sum = self.g1_ops.to_affine_host(l_acc[None])[0]
-        H_sum = self.g1_ops.to_affine_host(h_acc[None])[0]
 
         A = g1.add(g1.add(vk.alpha_g1, A_sum), g1.scalar_mul(pk.delta_g1, r))
         B = g2.add(g2.add(vk.beta_g2, B_sum), g2.scalar_mul(vk.delta_g2, s))

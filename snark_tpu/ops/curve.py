@@ -126,62 +126,71 @@ class _CurveOpsBase:
 
     def add_impl(self, p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
         """Complete addition, RCB15 Algorithm 7 (a = 0), 12M. Valid for every
-        input pair: doubling, identity, inverses — no branches."""
+        input pair: doubling, identity, inverses — no branches.
+
+        The 12 multiplies are grouped by dependency level and executed as
+        three *stacked* multiplies (6 + 2 + 6 along a fresh leading axis):
+        ~4x fewer XLA ops per point-add (each field multiply is hundreds of
+        HLO ops — per-op overhead dominated small-batch adds) and 6x the
+        lanes per multiply.
+        """
         F = self.F
         X1, Y1, Z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
         X2, Y2, Z2 = q[..., 0, :], q[..., 1, :], q[..., 2, :]
         b3 = self.B3
 
-        t0 = F.mul_impl(X1, X2)
-        t1 = F.mul_impl(Y1, Y2)
-        t2 = F.mul_impl(Z1, Z2)
-        t3 = F.mul_impl(F.add_impl(X1, Y1), F.add_impl(X2, Y2))
-        t3 = F.sub_impl(t3, F.add_impl(t0, t1))
-        t4 = F.mul_impl(F.add_impl(Y1, Z1), F.add_impl(Y2, Z2))
-        t4 = F.sub_impl(t4, F.add_impl(t1, t2))
-        X3 = F.mul_impl(F.add_impl(X1, Z1), F.add_impl(X2, Z2))
-        Y3 = F.sub_impl(X3, F.add_impl(t0, t2))
+        A = jnp.stack(
+            [X1, Y1, Z1, F.add_impl(X1, Y1), F.add_impl(Y1, Z1), F.add_impl(X1, Z1)]
+        )
+        Bv = jnp.stack(
+            [X2, Y2, Z2, F.add_impl(X2, Y2), F.add_impl(Y2, Z2), F.add_impl(X2, Z2)]
+        )
+        M = F.mul_impl(A, Bv)
+        t0, t1, t2, m4, m5, m6 = (M[i] for i in range(6))
+
+        t3 = F.sub_impl(m4, F.add_impl(t0, t1))
+        t4 = F.sub_impl(m5, F.add_impl(t1, t2))
+        Y3 = F.sub_impl(m6, F.add_impl(t0, t2))
         X3 = F.add_impl(t0, t0)
         t0 = F.add_impl(X3, t0)
-        t2 = F.mul_impl(b3, t2)
+
+        C = F.mul_impl(jnp.stack([t2, Y3]), b3)
+        t2, Y3 = C[0], C[1]
         Z3 = F.add_impl(t1, t2)
         t1 = F.sub_impl(t1, t2)
-        Y3 = F.mul_impl(b3, Y3)
-        X3 = F.mul_impl(t4, Y3)
-        t2 = F.mul_impl(t3, t1)
-        X3 = F.sub_impl(t2, X3)
-        Y3 = F.mul_impl(Y3, t0)
-        t1 = F.mul_impl(t1, Z3)
-        Y3 = F.add_impl(t1, Y3)
-        t0 = F.mul_impl(t0, t3)
-        Z3 = F.mul_impl(Z3, t4)
-        Z3 = F.add_impl(Z3, t0)
+
+        Q = F.mul_impl(
+            jnp.stack([t4, t3, Y3, t1, t0, Z3]),
+            jnp.stack([Y3, t1, t0, Z3, t3, t4]),
+        )
+        X3 = F.sub_impl(Q[1], Q[0])
+        Y3 = F.add_impl(Q[3], Q[2])
+        Z3 = F.add_impl(Q[5], Q[4])
         return jnp.stack([X3, Y3, Z3], axis=-2)
 
     def double_impl(self, p: jnp.ndarray) -> jnp.ndarray:
-        """Complete doubling, RCB15 Algorithm 9 (a = 0), 6M + 2S."""
+        """Complete doubling, RCB15 Algorithm 9 (a = 0), 6M + 2S, with the
+        multiplies stacked by dependency level (4 + 1 + 4)."""
         F = self.F
         X, Y, Z = p[..., 0, :], p[..., 1, :], p[..., 2, :]
         b3 = self.B3
-        t0 = F.mul_impl(Y, Y)
+        M = F.mul_impl(jnp.stack([Y, Y, Z, X]), jnp.stack([Y, Z, Z, Y]))
+        t0, t1, t2, xy = (M[i] for i in range(4))
         Z3 = F.add_impl(t0, t0)
         Z3 = F.add_impl(Z3, Z3)
-        Z3 = F.add_impl(Z3, Z3)
-        t1 = F.mul_impl(Y, Z)
-        t2 = F.mul_impl(Z, Z)
-        t2 = F.mul_impl(b3, t2)
-        X3 = F.mul_impl(t2, Z3)
-        Y3 = F.add_impl(t0, t2)
-        Z3 = F.mul_impl(t1, Z3)
-        t1 = F.add_impl(t2, t2)
-        t2 = F.add_impl(t1, t2)
+        Z3 = F.add_impl(Z3, Z3)  # 8·Y^2
+        b3z2 = F.mul_impl(t2, b3)
+        Y3 = F.add_impl(t0, b3z2)
+        tt = F.add_impl(b3z2, b3z2)
+        t2 = F.add_impl(tt, b3z2)  # 3·b3·Z^2
         t0 = F.sub_impl(t0, t2)
-        Y3 = F.mul_impl(t0, Y3)
-        Y3 = F.add_impl(X3, Y3)
-        t1 = F.mul_impl(X, Y)
-        X3 = F.mul_impl(t0, t1)
-        X3 = F.add_impl(X3, X3)
-        return jnp.stack([X3, Y3, Z3], axis=-2)
+        Q = F.mul_impl(
+            jnp.stack([b3z2, t1, t0, t0]), jnp.stack([Z3, Z3, Y3, xy])
+        )
+        Y3_out = F.add_impl(Q[0], Q[2])  # t2·Z3 + t0·Y3
+        Z3_out = Q[1]  # t1·Z3
+        X3_out = F.add_impl(Q[3], Q[3])  # 2·t0·(X·Y)
+        return jnp.stack([X3_out, Y3_out, Z3_out], axis=-2)
 
     def neg_impl(self, p: jnp.ndarray) -> jnp.ndarray:
         X, Y, Z = p[..., 0, :], p[..., 1, :], p[..., 2, :]

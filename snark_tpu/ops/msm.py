@@ -91,6 +91,7 @@ class MsmPlan:
         # (window_chunk, N, 3, K) at once
         self.window_chunk = window_chunk
         self._run = jax.jit(self._msm_impl)
+        self._sums_run = jax.jit(self._sums_impl)
 
     def _window_sums(self, points, digits_t):
         """points (N, 3, K); digits_t (W, N) -> per-window sums (W, 3, K)."""
@@ -111,7 +112,9 @@ class MsmPlan:
         length = length.at[:, 0].set(0)  # bucket 0 contributes nothing
         max_len = jnp.max(length)
 
-        buckets0 = ops.identity_like((W, nb))
+        # seed the carry from the (possibly shard_map-varying) operand so the
+        # while carry's varying-manual-axes match the body output
+        buckets0 = ops.identity_like((W, nb)) + pts_sorted[:, :1] * 0
 
         def cond(state):
             i, _ = state
@@ -145,21 +148,27 @@ class MsmPlan:
         totals = jax.lax.fori_loop(0, c, scan_step, suffix)[:, 0]  # (W, 3, K)
         return totals
 
+    def _sums_impl(self, points, digits):
+        """points (N, 3, K); digits (N, W) -> per-window sums (W, 3, K)."""
+        W = digits.shape[1]
+        wc = self.window_chunk or W
+        if wc >= W:
+            return self._window_sums(points, digits.T)
+        dt = digits.T
+        parts = [
+            self._window_sums(points, dt[i : i + wc]) for i in range(0, W, wc)
+        ]
+        return jnp.concatenate(parts, axis=0)
+
+    def window_sums(self, points, digits):
+        return self._sums_run(points, digits)
+
     def _msm_impl(self, points, digits):
         """points (N, 3, K); digits (N, W) uint32 -> (3, K) point."""
         ops = self.ops
         c = self.c
         W = digits.shape[1]
-        wc = self.window_chunk or W
-        if wc >= W:
-            sums = self._window_sums(points, digits.T)
-        else:
-            dt = digits.T
-            parts = [
-                self._window_sums(points, dt[i : i + wc])
-                for i in range(0, W, wc)
-            ]
-            sums = jnp.concatenate(parts, axis=0)
+        sums = self._sums_impl(points, digits)
 
         # Horner over windows, most significant first
         def window_body(w, acc):
@@ -169,7 +178,8 @@ class MsmPlan:
             acc = jax.lax.fori_loop(0, c, dbl, acc)
             return ops.add_impl(acc, sums[W - 1 - w])
 
-        return jax.lax.fori_loop(0, W, window_body, ops.IDENTITY)
+        acc0 = ops.IDENTITY + sums[0] * 0  # match shard_map varying axes
+        return jax.lax.fori_loop(0, W, window_body, acc0)
 
     def __call__(self, points: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
         return self._run(points, digits)
@@ -193,6 +203,50 @@ def memory_aware_window_chunk(n: int, k_limbs: int, budget_bytes: float = 4e9):
     """Cap the (wc, N, 3, K) sorted-points gather at ~budget_bytes."""
     per_window = n * 3 * k_limbs * 4
     return max(1, int(budget_bytes // max(per_window, 1)))
+
+
+def _pad_inputs(ops, points, digits):
+    n = points.shape[0]
+    n_pad = 1 << max(2, (n - 1).bit_length())
+    if n_pad != n:
+        points = jnp.concatenate(
+            [points, ops.identity_like((n_pad - n,))], axis=0
+        )
+        digits = (
+            np.pad(np.asarray(digits), ((0, n_pad - n), (0, 0)))
+            if isinstance(digits, np.ndarray)
+            else jnp.pad(digits, ((0, n_pad - n), (0, 0)))
+        )
+    return points, jnp.asarray(digits), n_pad
+
+
+def msm_host_combine(
+    ops: _CurveOpsBase,
+    host_curve,
+    points: jnp.ndarray,
+    digits,
+    c: int,
+):
+    """MSM with the Horner window combine on host -> host affine point.
+
+    The device computes per-window bucket sums (the O(N·W) work); the
+    ~num_bits sequential doubling tail — pure latency on a batch-1 device
+    op — runs as ~254 host point doubles on the W affine window sums.
+    """
+    points, digits, n_pad = _pad_inputs(ops, points, digits)
+    wc = memory_aware_window_chunk(n_pad, points.shape[-1])
+    W = digits.shape[1]
+    if wc >= W:
+        wc = None
+    plan = get_msm_plan(ops, c, wc)
+    sums = plan.window_sums(points, digits)  # (W, 3, K)
+    affs = ops.to_affine_host(sums)
+    acc = None
+    for w in range(W - 1, -1, -1):
+        for _ in range(c):
+            acc = host_curve.double(acc)
+        acc = host_curve.add(acc, affs[w])
+    return acc
 
 
 def msm_device_digits(

@@ -13,7 +13,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.curve import _CurveOpsBase
 from ..ops.msm import MsmPlan, pick_window
@@ -41,6 +41,7 @@ def sharded_msm(
         mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=P(),
+        check_vma=False,  # result is replicated by construction (all_gather + local fold)
     )
     def run(pts, dgs):
         local = plan._msm_impl(pts, dgs)  # (3, K) partial on this chip
@@ -49,6 +50,7 @@ def sharded_msm(
         def body(i, acc):
             return ops.add_impl(acc, gathered[i])
 
-        return jax.lax.fori_loop(0, gathered.shape[0], body, ops.IDENTITY)
+        acc0 = ops.IDENTITY + gathered[0] * 0  # match shard_map varying axes
+        return jax.lax.fori_loop(0, gathered.shape[0], body, acc0)
 
     return jax.jit(run)(points, digits)
