@@ -2,13 +2,17 @@
 
 Prints ONE JSON line:
   {"metric": "msm_point_adds_per_s", "value": N, "unit": "adds/s",
-   "vs_baseline": N / 1e8}
+   "vs_baseline": N / 1e8, ...}
 
 Work accounting: the bucket pipeline performs, per window,
-  N point-adds (bucket-parallel serial scan over the sorted shard)
-+ 2·c·2^c (suffix scan + total sum) + c doublings (window combine);
-point-adds/s = total such group operations / wall-clock. The baseline
-target is 1e8 adds/s/chip (BASELINE.md).
+  N point-adds (bucket-parallel scan over the sorted shard)
++ 2·c·2^c (suffix scan + total sum, batched) and the window combine runs
+as ~num_bits doublings on host. point-adds/s = total group operations /
+wall-clock. Baseline target: 1e8 adds/s/chip (BASELINE.md).
+
+Timing is sync-forced: the host window-combine consumes the device sums, so
+every iteration includes a real device->host round trip (the axon tunnel's
+block_until_ready alone does NOT guarantee completion — measured).
 """
 
 from __future__ import annotations
@@ -29,40 +33,48 @@ def main():
     import numpy as np
 
     from snark_tpu.fields import BN254, Fp
-    from snark_tpu.groth16.groth16 import _fixed_base_g1
     from snark_tpu.ops.curve import get_g1_ops
-    from snark_tpu.ops.msm import MsmPlan, pick_window, scalars_to_digits
+    from snark_tpu.ops.curve_host import host_g1
+    from snark_tpu.ops.msm import (
+        msm_host_combine,
+        pick_window,
+        scalars_to_digits,
+    )
 
     log_n = int(os.environ.get("BENCH_LOG_N", "16"))
     n = 1 << log_n
     curve = BN254
     fr = Fp(curve.fr)
     ops = get_g1_ops(curve)
+    hc = host_g1(curve)
     rng = random.Random(7)
 
-    # random points as [k]G via device fixed-base; random scalars
-    base_scalars = [fr.rand(rng) for _ in range(n)]
-    points = _fixed_base_g1(curve, base_scalars)
-    points.block_until_ready()
+    # points: a small pool of distinct curve points tiled to N (point
+    # distribution does not affect the group-op cost)
+    pool = [hc.scalar_mul(hc.generator, k + 1) for k in range(64)]
+    pts = jnp.asarray(
+        np.tile(np.asarray(ops.pack_affine_host(pool)), (n // 64, 1, 1))
+    )
 
     scalars = [fr.rand(rng) for _ in range(n)]
     nbits = curve.fr.num_bits
     c = pick_window(n)
-    digits = jnp.asarray(scalars_to_digits(fr.to_limbs_array(scalars), c, nbits))
-    plan = MsmPlan(ops, c)
+    digits = np.asarray(scalars_to_digits(fr.to_limbs_array(scalars), c, nbits))
 
-    # warmup / compile
-    out = plan(points, digits)
-    out.block_until_ready()
+    # warmup / compile (host combine forces a full sync)
+    result = msm_host_combine(ops, hc, pts, digits, c)
 
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.time()
     for _ in range(iters):
-        out = plan(points, digits)
-    out.block_until_ready()
+        result = msm_host_combine(ops, hc, pts, digits, c)
     dt = (time.time() - t0) / iters
 
-    W = digits.shape[1]
+    # correctness spot-check against the host oracle (cheap at tiled points)
+    want = hc.msm(pool * (n // 64), scalars)
+    ok = result == want
+
+    W = -(-nbits // c)
     adds_per_window = n + 2 * c * (1 << c) + c
     total_adds = W * adds_per_window
     adds_per_s = total_adds / dt
@@ -72,14 +84,16 @@ def main():
                 "metric": "msm_point_adds_per_s",
                 "value": round(adds_per_s),
                 "unit": "adds/s",
-                "vs_baseline": round(adds_per_s / 1e8, 4),
+                "vs_baseline": round(adds_per_s / 1e8, 6),
                 "detail": {
                     "n_points": n,
                     "window_bits": c,
                     "num_windows": W,
                     "msm_wall_s": round(dt, 4),
                     "curve": "bn254_g1",
+                    "correct": bool(ok),
                     "backend": jax.default_backend(),
+                    "field_impl": os.environ.get("SNARK_TPU_FIELD_IMPL", "u32"),
                 },
             }
         )

@@ -25,11 +25,17 @@ import os as _os
 def get_compute_field(params):
     """The device field implementation used by all kernels.
 
-    Default: the f32 base-256 digit field (measured ~540x faster Montgomery
-    multiply on TPU v5e than the uint32 limb path). Set
-    SNARK_TPU_FIELD_IMPL=u32 to fall back.
+    Two interchangeable backends (select with SNARK_TPU_FIELD_IMPL):
+      * "u32" (default): base-2^16 limbs in uint32 lanes — smaller XLA
+        graphs, faster compiles.
+      * "f32": base-2^8 digits in float32 — exact f32 arithmetic, the basis
+        for the planned Mosaic fused kernels.
+    Honest sync-forced measurements on v5e put both at ~6-9M Montgomery
+    muls/s under plain XLA at 2^20 batch (traffic/op-overhead bound, ~30x
+    off the fused roofline) — closing that gap is the Pallas kernel
+    roadmap, not a representation change.
     """
-    if _os.environ.get("SNARK_TPU_FIELD_IMPL", "f32") == "u32":
+    if _os.environ.get("SNARK_TPU_FIELD_IMPL", "u32") == "u32":
         from .device import get_device_field
 
         return get_device_field(params)

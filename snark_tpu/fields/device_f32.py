@@ -1,12 +1,13 @@
-"""Device field arithmetic on float32 base-256 digit vectors — the fast path.
+"""Device field arithmetic on float32 base-256 digit vectors.
 
-Measured on TPU v5e: the uint32 16-bit-limb path runs ~7M Montgomery
-muls/s (uint32 multiplies are emulated on the VPU and intermediates
-round-trip HBM); this representation hits **~3.8B Montgomery muls/s** at
-2^20 batch — f32 FMA is the native full-throughput op and XLA fuses the
-whole digit pipeline (the shifted-accumulate loop lowers onto the matrix
-path). All arithmetic is exact: digits < 2^9, products < 2^18, 32-term
-accumulations < 2^23 < 2^24 — integers exactly representable in f32.
+All arithmetic is exact: digits < 2^9, products < 2^18, 32-term
+accumulations < 2^23 < 2^24 — integers exactly representable in f32, the
+VPU's native full-throughput type. Under plain XLA this performs on par
+with the uint32 limb path (~6-9M Montgomery muls/s at 2^20 batch on v5e,
+sync-forced measurement — both are intermediate-traffic/op-overhead bound,
+~30x off the fused roofline). The f32 digit form is the representation the
+planned Mosaic fused kernels build on (f32 FMA + exact floor-carries need
+no integer multiplier emulation in-kernel).
 
 Representation: (..., R8) float32, R8 = 2·num_limbs base-256 digits,
 little-endian, canonical (digits < 256, value < p), Montgomery form for

@@ -24,11 +24,15 @@ from ..relations import SynthesisMode, new_ref
 
 class BatchProver:
     def __init__(self, g16: Groth16, pk: ProvingKey, mesh: Mesh | None = None,
-                 axis: str = "dp"):
+                 axis: str = "dp", lite: bool = False):
         self.g16 = g16
         self.pk = pk
         self.mesh = mesh
         self.axis = axis
+        # lite: compile only the A (G1) and B (G2) MSMs — used by the
+        # multichip dry-run, where compile time on virtual CPU meshes
+        # matters more than covering all five queries (same shardings).
+        self.lite = lite
         self.fr = g16.fr
         n = pk.domain_size
         self.plan = g16._witness_plan(n)
@@ -67,6 +71,10 @@ class BatchProver:
 
             a_acc = self.msm_g1._msm_impl(pk.a_query, zd)
             b_acc = self.msm_g2._msm_impl(pk.b_g2_query, zd)
+            if self.lite:
+                # return h digits directly (keeps the NTT pipeline live
+                # without compiling a third MSM shape)
+                return a_acc, b_acc, h_digits
             b1_acc = self.msm_g1._msm_impl(pk.b_g1_query, zd)
             l_acc = self.msm_g1._msm_impl(pk.l_query, zd[ni:])
             h_acc = self.msm_g1._msm_impl(pk.h_query, h_digits)
