@@ -30,6 +30,7 @@ from .error import (
     Unsatisfiable,
 )
 from .field_interner import FieldInterner
+from .gadgets import FpVar
 from .instance_outliner import (
     InstanceOutliner,
     outline_r1cs,
@@ -71,6 +72,7 @@ __all__ = [
     "CsrMatrix",
     "DivisionByZero",
     "FieldInterner",
+    "FpVar",
     "InstanceOutliner",
     "LcMap",
     "LinearCombination",

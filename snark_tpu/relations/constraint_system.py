@@ -466,12 +466,20 @@ class ConstraintSystem:
     # finalize: inline + outline (constraint_system.rs:691-758, 826-863)
     # ------------------------------------------------------------------
     def finalize(self) -> None:
+        from ..utils.timing import end_timer, start_timer
+
+        t_fin = start_timer("Finalize GR1CS")
+        t_inline = start_timer("Inline/Outline LCs")
         self.inline_all_lcs()
+        end_timer(t_inline)
+        t_outline = start_timer("Instance Outlining")
         outliner = self.instance_outliner
         if outliner is not None:
             self.instance_outliner = None
             if self.has_predicate(outliner.pred_label):
                 self.perform_instance_outlining(outliner)
+        end_timer(t_outline)
+        end_timer(t_fin)
 
     def set_instance_outliner(self, outliner) -> None:
         self.instance_outliner = outliner

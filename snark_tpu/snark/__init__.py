@@ -8,6 +8,7 @@ from .api import (
     UniversalSetupSNARK,
 )
 from . import serialize
+from .universal import ComputationBound, PublicParameters, UniversalGroth16
 
 __all__ = [
     "SNARK",
@@ -16,4 +17,7 @@ __all__ = [
     "UniversalSetupIndexError",
     "UniversalSetupSNARK",
     "serialize",
+    "ComputationBound",
+    "PublicParameters",
+    "UniversalGroth16",
 ]
