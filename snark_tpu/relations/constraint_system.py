@@ -498,10 +498,21 @@ class ConstraintSystem:
 
     def inline_all_lcs(self) -> None:
         """Single ordered pass substituting symbolic-LC refs with their
-        already-inlined rows (constraint_system.rs:717-758)."""
+        already-inlined rows (constraint_system.rs:717-758).
+
+        Large systems route through the native C++ engine (relations/
+        native.py — the rayon-parallel Rust pass's counterpart); small ones
+        and unavailable-toolchain environments use the Python pass.
+        """
         if not self.should_construct_matrices():
             return
         if not self.any_lcs_used():
+            return
+        if (
+            self.lc_map.total_lc_size() >= 4096
+            and self.field.p.bit_length() <= 256
+            and self._inline_all_lcs_native()
+        ):
             return
         old = self.lc_map
         interner = self.field_interner
@@ -533,6 +544,28 @@ class ConstraintSystem:
             lc.compactify()
             new_map.push(lc, interner)
         self.lc_map = new_map
+
+    def _inline_all_lcs_native(self) -> bool:
+        """Native-engine inline pass; returns False to fall back."""
+        from .native import get_inliner
+
+        inliner = get_inliner(self.field.p)
+        if inliner is None:
+            return False
+        lm = self.lc_map
+        out_off, out_vars, out_values = inliner.inline(
+            lm.offsets_array(),
+            lm.vars_array(),
+            lm.coeff_ids_array(),
+            self.field_interner.values,
+        )
+        new_map = LcMap()
+        intern = self.field_interner.get_or_intern
+        new_map.vars = [int(v) for v in out_vars]
+        new_map.coeff_ids = [intern(v) for v in out_values]
+        new_map.offsets = [int(o) for o in out_off]
+        self.lc_map = new_map
+        return True
 
     def perform_instance_outlining(self, outliner) -> None:
         """Replace instance vars with fresh witnesses everywhere, then let the

@@ -1,0 +1,140 @@
+"""ctypes bridge to the native LC-inlining engine (native/lc_engine.cpp).
+
+Compiled on first use with g++ (cached under native/_build); falls back to
+the pure-Python pass if the toolchain or binary is unavailable. Supports
+moduli up to 256 bits (all scalar fields; the relations layer only ever
+inlines over Fr).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB = None
+_LIB_TRIED = False
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_SRC = os.path.join(_NATIVE_DIR, "lc_engine.cpp")
+_SO = os.path.join(_NATIVE_DIR, "_build", "lc_engine.so")
+
+
+def _build() -> str | None:
+    os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        "-o", _SO, _SRC,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _SO
+    except Exception:
+        return None
+
+
+def get_lib():
+    global _LIB, _LIB_TRIED
+    with _LOCK:
+        if _LIB_TRIED:
+            return _LIB
+        _LIB_TRIED = True
+        so = _build()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
+        lib.lc_field_ctx_size.restype = ctypes.c_size_t
+        lib.lc_inline_run.restype = ctypes.c_void_p
+        lib.lc_inline_run.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.lc_inline_nnz.restype = ctypes.c_int64
+        lib.lc_inline_nnz.argtypes = [ctypes.c_void_p]
+        lib.lc_inline_fetch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.lc_inline_free.argtypes = [ctypes.c_void_p]
+        lib.lc_field_init.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        _LIB = lib
+        return _LIB
+
+
+def _to_u64x4(values: list[int]) -> np.ndarray:
+    out = np.zeros((len(values), 4), dtype=np.uint64)
+    for i, v in enumerate(values):
+        for j in range(4):
+            out[i, j] = (v >> (64 * j)) & 0xFFFFFFFFFFFFFFFF
+    return out
+
+
+def _from_u64x4(arr: np.ndarray) -> list[int]:
+    a = np.asarray(arr, dtype=np.uint64).reshape(-1, 4)
+    return [
+        int(a[i, 0]) | (int(a[i, 1]) << 64) | (int(a[i, 2]) << 128)
+        | (int(a[i, 3]) << 192)
+        for i in range(a.shape[0])
+    ]
+
+
+class NativeInliner:
+    """Holds a field context; runs the native inline pass over CSR arrays."""
+
+    def __init__(self, modulus: int):
+        assert modulus.bit_length() <= 256, "native engine supports <=256-bit p"
+        self.lib = get_lib()
+        if self.lib is None:
+            raise RuntimeError("native engine unavailable")
+        self.modulus = modulus
+        self._ctx = ctypes.create_string_buffer(self.lib.lc_field_ctx_size())
+        p_limbs = _to_u64x4([modulus])
+        self.lib.lc_field_init(self._ctx, p_limbs.ctypes.data)
+
+    def inline(self, offsets: np.ndarray, vars_: np.ndarray,
+               coeff_ids: np.ndarray, values: list[int]):
+        """-> (new_offsets int64, new_vars u64, new_coeff_values list[int])."""
+        n = len(offsets) - 1
+        offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        vars_ = np.ascontiguousarray(vars_, dtype=np.uint64)
+        coeff_ids = np.ascontiguousarray(coeff_ids, dtype=np.uint32)
+        vals = np.ascontiguousarray(_to_u64x4(values))
+        handle = self.lib.lc_inline_run(
+            self._ctx, n, offsets.ctypes.data, vars_.ctypes.data,
+            coeff_ids.ctypes.data, len(values), vals.ctypes.data,
+        )
+        if not handle:
+            raise RuntimeError("native inline failed")
+        try:
+            nnz = self.lib.lc_inline_nnz(handle)
+            out_off = np.zeros(n + 1, dtype=np.int64)
+            out_vars = np.zeros(nnz, dtype=np.uint64)
+            out_coeffs = np.zeros((nnz, 4), dtype=np.uint64)
+            self.lib.lc_inline_fetch(
+                self._ctx, handle, out_off.ctypes.data,
+                out_vars.ctypes.data, out_coeffs.ctypes.data,
+            )
+        finally:
+            self.lib.lc_inline_free(handle)
+        return out_off, out_vars, _from_u64x4(out_coeffs)
+
+
+_INLINERS: dict[int, NativeInliner | None] = {}
+
+
+def get_inliner(modulus: int) -> NativeInliner | None:
+    if modulus not in _INLINERS:
+        try:
+            _INLINERS[modulus] = NativeInliner(modulus)
+        except Exception:
+            _INLINERS[modulus] = None
+    return _INLINERS[modulus]

@@ -1,0 +1,109 @@
+"""Native C++ LC-inlining engine vs the pure-Python pass: identical output
+CSR on randomized systems with deep symbolic-LC nesting."""
+
+import random
+
+import numpy as np
+import pytest
+
+from snark_tpu.fields import BLS12_381_FR, BN254_FR, Fp
+from snark_tpu.relations import ConstraintSystem, new_ref
+from snark_tpu.relations.native import get_inliner
+
+
+def build_nested_system(field, seed, n_lcs=60):
+    """System where later LCs reference earlier symbolic LCs (the inlining
+    workload), plus constraints so the map is populated realistically."""
+    rng = random.Random(seed)
+    cs = ConstraintSystem(field)
+    w = [cs.new_witness_variable(rng.randrange(field.p)) for _ in range(16)]
+    handles = []
+    for i in range(n_lcs):
+        terms = []
+        for _ in range(rng.randrange(1, 5)):
+            terms.append((rng.randrange(1, field.p), w[rng.randrange(16)]))
+        if handles and rng.random() < 0.6:
+            for _ in range(rng.randrange(1, 3)):
+                terms.append(
+                    (rng.randrange(1, field.p),
+                     handles[rng.randrange(len(handles))])
+                )
+        lc = cs.lc_terms(*terms)
+        h = cs.new_lc(lc)
+        handles.append(h)
+        if rng.random() < 0.5:
+            cs.enforce_r1cs_constraint(cs.lc(h), cs.lc(w[0]), cs.lc(w[1]))
+    return cs
+
+
+@pytest.mark.parametrize("params", [BN254_FR, BLS12_381_FR], ids=lambda p: p.name)
+def test_native_matches_python(params):
+    field = Fp(params)
+    inliner = get_inliner(field.p)
+    if inliner is None:
+        pytest.skip("native toolchain unavailable")
+
+    cs_py = build_nested_system(field, seed=9)
+    cs_nat = build_nested_system(field, seed=9)
+
+    # python reference pass (native path disabled)
+    import snark_tpu.relations.constraint_system as csmod
+
+    orig = csmod.ConstraintSystem._inline_all_lcs_native
+    csmod.ConstraintSystem._inline_all_lcs_native = lambda self: False
+    try:
+        cs_py.inline_all_lcs()
+    finally:
+        csmod.ConstraintSystem._inline_all_lcs_native = orig
+
+    # native pass (direct, no threshold)
+    lm = cs_nat.lc_map
+    out_off, out_vars, out_vals = inliner.inline(
+        lm.offsets_array(), lm.vars_array(), lm.coeff_ids_array(),
+        cs_nat.field_interner.values,
+    )
+
+    # compare CSRs term by term
+    py = cs_py.lc_map
+    vals_py = [cs_py.field_interner.values[c] for c in py.coeff_ids]
+    assert list(out_off) == py.offsets
+    assert [int(v) for v in out_vars] == py.vars
+    assert out_vals == vals_py
+
+
+def test_native_through_finalize():
+    """End-to-end: a big-enough system routes through the native pass inside
+    finalize() and stays satisfiable with identical matrices."""
+    field = Fp(BN254_FR)
+    rng = random.Random(3)
+
+    def build():
+        cs = new_ref(field)
+        a = cs.new_input_variable(2)
+        b = cs.new_witness_variable(3)
+        prev = cs.new_lc(cs.lc(a, b))  # a + b
+        for i in range(1200):  # push nnz over the native threshold
+            prev = cs.new_lc(
+                cs.lc_terms((2, prev), (i + 1, b))
+            )
+        # constraint: 1 * prev = prev
+        cs.enforce_r1cs_constraint(cs.lc(V_ONE), cs.lc(prev), cs.lc(prev))
+        return cs
+
+    from snark_tpu.relations import variable as V
+
+    global V_ONE
+    V_ONE = V.ONE
+    cs1 = build()
+    cs2 = build()
+    import snark_tpu.relations.constraint_system as csmod
+
+    orig = csmod.ConstraintSystem._inline_all_lcs_native
+    csmod.ConstraintSystem._inline_all_lcs_native = lambda self: False
+    try:
+        cs1.finalize()  # python
+    finally:
+        csmod.ConstraintSystem._inline_all_lcs_native = orig
+    cs2.finalize()  # native (threshold exceeded)
+    assert cs1.to_matrices() == cs2.to_matrices()
+    assert cs1.is_satisfied() and cs2.is_satisfied()
