@@ -70,8 +70,12 @@ def main():
         result = msm_host_combine(ops, hc, pts, digits, c)
     dt = (time.time() - t0) / iters
 
-    # correctness spot-check against the host oracle (cheap at tiled points)
-    want = hc.msm(pool * (n // 64), scalars)
+    # correctness spot-check: points are the pool tiled, so the expected MSM
+    # is Σ_j pool_j · (Σ_{i ≡ j (64)} s_i) — 64 host scalar-muls, not n
+    agg = [0] * 64
+    for i, s in enumerate(scalars):
+        agg[i % 64] = (agg[i % 64] + s) % fr.p
+    want = hc.msm(pool, agg)
     ok = result == want
 
     W = -(-nbits // c)

@@ -100,6 +100,81 @@ class ProvingKey:
     num_constraints: int
     domain_size: int
 
+    # ----- persistence (checkpoint/resume: generate a pk once, reload) ---
+    def save(self, path: str) -> None:
+        """Persist to an .npz: device arrays verbatim + vk via the
+        arkworks-layout byte codec (SURVEY.md §5 checkpoint/resume)."""
+        from ..snark import serialize as ser
+
+        np.savez_compressed(
+            path,
+            vk=np.frombuffer(ser.serialize_vk(self.vk), dtype=np.uint8),
+            curve=self.vk.curve.name,
+            beta_g1=np.frombuffer(
+                ser.serialize_g1(self.vk.curve, self.beta_g1), dtype=np.uint8
+            ),
+            delta_g1=np.frombuffer(
+                ser.serialize_g1(self.vk.curve, self.delta_g1), dtype=np.uint8
+            ),
+            a_query=np.asarray(self.a_query),
+            b_g1_query=np.asarray(self.b_g1_query),
+            b_g2_query=np.asarray(self.b_g2_query),
+            h_query=np.asarray(self.h_query),
+            l_query=np.asarray(self.l_query),
+            mat_a_cols=np.asarray(self.mat_a.cols),
+            mat_a_coeffs=np.asarray(self.mat_a.coeffs),
+            mat_b_cols=np.asarray(self.mat_b.cols),
+            mat_b_coeffs=np.asarray(self.mat_b.coeffs),
+            mat_c_cols=np.asarray(self.mat_c.cols),
+            mat_c_coeffs=np.asarray(self.mat_c.coeffs),
+            sizes=np.asarray(
+                [
+                    self.num_instance,
+                    self.num_witness,
+                    self.num_constraints,
+                    self.domain_size,
+                ],
+                dtype=np.int64,
+            ),
+        )
+
+    @staticmethod
+    def load(path: str) -> "ProvingKey":
+        from ..fields.params import get_curve
+        from ..snark import serialize as ser
+
+        z = np.load(path, allow_pickle=False)
+        curve = get_curve(str(z["curve"]))
+        vk = ser.deserialize_vk(z["vk"].tobytes(), curve)
+        beta_g1, _ = ser.deserialize_g1(curve, z["beta_g1"].tobytes())
+        delta_g1, _ = ser.deserialize_g1(curve, z["delta_g1"].tobytes())
+        sizes = z["sizes"]
+
+        def csr(prefix):
+            return PaddedCsr(
+                jnp.asarray(z[prefix + "_cols"]),
+                jnp.asarray(z[prefix + "_coeffs"]),
+                int(z[prefix + "_cols"].shape[0]),
+            )
+
+        return ProvingKey(
+            vk=vk,
+            beta_g1=beta_g1,
+            delta_g1=delta_g1,
+            a_query=jnp.asarray(z["a_query"]),
+            b_g1_query=jnp.asarray(z["b_g1_query"]),
+            b_g2_query=jnp.asarray(z["b_g2_query"]),
+            h_query=jnp.asarray(z["h_query"]),
+            l_query=jnp.asarray(z["l_query"]),
+            mat_a=csr("mat_a"),
+            mat_b=csr("mat_b"),
+            mat_c=csr("mat_c"),
+            num_instance=int(sizes[0]),
+            num_witness=int(sizes[1]),
+            num_constraints=int(sizes[2]),
+            domain_size=int(sizes[3]),
+        )
+
 
 # fixed-base table caches per curve (generator tables are circuit-independent)
 _G1_TABLES: dict = {}
