@@ -64,7 +64,7 @@ def main():
 
     scalars = [fr.rand(rng) for _ in range(n)]
     nbits = curve.fr.num_bits
-    c = pick_window(n)
+    c = int(os.environ.get("BENCH_WINDOW", "0")) or pick_window(n)
     digits = np.asarray(scalars_to_digits(fr.to_limbs_array(scalars), c, nbits))
 
     # warmup / compile (host combine forces a full sync)
