@@ -48,28 +48,36 @@ class DistNttPlan:
         f = Fp(params)
         p = params.modulus
         w = params.root_of_unity(self.n)
-        # twiddle matrix T[j1, k2] = w^(j1 * k2), (n1, n2), Montgomery form
-        rows = []
-        for j1 in range(n1):
-            base = pow(w, j1, p)
-            val = 1
-            row = []
-            for _ in range(n2):
-                row.append(val)
-                val = val * base % p
-            rows.append(row)
-        flat = [v for row in rows for v in row]
-        self.twiddle = self.df.array(flat).reshape(n1, n2, self.df.L)
-        self._run = jax.jit(self._build())
 
-    def _build(self):
+        def twiddle_matrix(root: int):
+            # T[j1, k2] = root^(j1 * k2), (n1, n2), Montgomery form
+            rows = []
+            for j1 in range(n1):
+                base = pow(root, j1, p)
+                val = 1
+                row = []
+                for _ in range(n2):
+                    row.append(val)
+                    val = val * base % p
+                rows.append(row)
+            flat = [v for row in rows for v in row]
+            return self.df.array(flat).reshape(n1, n2, self.df.L)
+
+        self.twiddle = twiddle_matrix(w)
+        self.twiddle_inv = twiddle_matrix(pow(w, -1, p))
+        self.n_inv = self.df.const(pow(self.n, -1, p))
+        self._run = jax.jit(self._build(inverse=False))
+        self._run_inv = jax.jit(self._build(inverse=True))
+
+    def _build(self, inverse: bool = False):
         n1, n2, L = self.n1, self.n2, self.df.L
         axis = self.axis
         ndev = self.mesh.shape[axis]
         assert n1 % ndev == 0 and n2 % ndev == 0
         df = self.df
         plan1, plan2 = self.plan1, self.plan2
-        twiddle = self.twiddle
+        twiddle = self.twiddle_inv if inverse else self.twiddle
+        n_inv = self.n_inv
 
         def local_transpose_sharded(x, rows, cols):
             """(rows/ndev, cols, L) sharded on rows -> (cols/ndev, rows, L)
@@ -93,8 +101,10 @@ class DistNttPlan:
             x = x_natural.reshape(n2 // ndev, n1, L)
             # step 1: transpose -> (n1/ndev, n2, L): rows indexed by j1
             x = local_transpose_sharded(x, n2, n1)
-            # step 2: local NTT_{n2} along rows
-            x = plan2._transform(x, inverse=False)  # (n1/ndev, n2, L)
+            # step 2: local NTT_{n2} along rows (inverse transforms carry
+            # their own 1/n2 factor, so fwd/inv share this structure and the
+            # inverse path needs no extra global 1/n scale)
+            x = plan2._transform(x, inverse=inverse)  # (n1/ndev, n2, L)
             # step 3: twiddle w^(j1 k2) — slice this chip's rows
             idx = jax.lax.axis_index(axis)
             tw = jax.lax.dynamic_slice(
@@ -106,7 +116,7 @@ class DistNttPlan:
             # step 4: transpose -> (n2/ndev, n1, L): rows indexed by k2
             x = local_transpose_sharded(x, n1, n2)
             # step 5: local NTT_{n1} along rows -> index k1
-            x = plan1._transform(x, inverse=False)  # (n2/ndev, n1, L)
+            x = plan1._transform(x, inverse=inverse)  # (n2/ndev, n1, L)
             # step 6: transpose -> (n1/ndev, n2, L) rows k1, cols k2;
             # flatten row-major: global index k1 * n2 + k2 = k2 + n2 k1 ✓
             x = local_transpose_sharded(x, n2, n1)
@@ -118,3 +128,7 @@ class DistNttPlan:
         """(n, L) Montgomery coefficients -> (n, L) natural-order evals,
         identical to ops.ntt.NttPlan.fft (tested)."""
         return self._run(coeffs)
+
+    def ifft(self, evals: jnp.ndarray) -> jnp.ndarray:
+        """Inverse transform, identical to ops.ntt.NttPlan.ifft (tested)."""
+        return self._run_inv(evals)

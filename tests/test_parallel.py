@@ -57,6 +57,14 @@ def test_dist_ntt_matches_local():
     dplan = DistNttPlan(params, n1, n2, mesh, "x")
     got = dplan.df.to_host_ints(dplan.fft(dev))
     assert got == want
+    # inverse round-trips through the distributed path too
+    back = dplan.df.to_host_ints(dplan.ifft(dplan.fft(dev)))
+    assert back == coeffs
+    # and matches the single-device inverse on the same evals
+    ev = plan.fft(dev)
+    assert dplan.df.to_host_ints(dplan.ifft(ev)) == plan.df.to_host_ints(
+        plan.ifft(ev)
+    )
 
 
 @pytest.mark.slow
