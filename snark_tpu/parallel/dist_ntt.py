@@ -66,8 +66,27 @@ class DistNttPlan:
         self.twiddle = twiddle_matrix(w)
         self.twiddle_inv = twiddle_matrix(pow(w, -1, p))
         self.n_inv = self.df.const(pow(self.n, -1, p))
+        # coset scale vectors (g^i / g^-i over the F* generator), sharded
+        # elementwise like the data
+        g = params.generator
+        g_inv = pow(g, -1, p)
+        pows, ipows = [], []
+        x, y = 1, 1
+        for _ in range(self.n):
+            pows.append(x)
+            ipows.append(y)
+            x = x * g % p
+            y = y * g_inv % p
+        self.coset_scale = self.df.array(pows)
+        self.coset_unscale = self.df.array(ipows)
         self._run = jax.jit(self._build(inverse=False))
         self._run_inv = jax.jit(self._build(inverse=True))
+        self._coset_fft = jax.jit(
+            lambda c: self._run(self.df.mul_impl(c, self.coset_scale))
+        )
+        self._coset_ifft = jax.jit(
+            lambda e: self.df.mul_impl(self._run_inv(e), self.coset_unscale)
+        )
 
     def _build(self, inverse: bool = False):
         n1, n2, L = self.n1, self.n2, self.df.L
@@ -132,3 +151,10 @@ class DistNttPlan:
     def ifft(self, evals: jnp.ndarray) -> jnp.ndarray:
         """Inverse transform, identical to ops.ntt.NttPlan.ifft (tested)."""
         return self._run_inv(evals)
+
+    def coset_fft(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        """Coset evaluations over GENERATOR·H (the Groth16 h-poly path)."""
+        return self._coset_fft(coeffs)
+
+    def coset_ifft(self, evals: jnp.ndarray) -> jnp.ndarray:
+        return self._coset_ifft(evals)

@@ -65,6 +65,10 @@ def test_dist_ntt_matches_local():
     assert dplan.df.to_host_ints(dplan.ifft(ev)) == plan.df.to_host_ints(
         plan.ifft(ev)
     )
+    # coset transforms match the single-device plan
+    cev = dplan.coset_fft(dev)
+    assert dplan.df.to_host_ints(cev) == plan.df.to_host_ints(plan.coset_fft(dev))
+    assert dplan.df.to_host_ints(dplan.coset_ifft(cev)) == coeffs
 
 
 @pytest.mark.slow
