@@ -33,10 +33,20 @@ from .curve import _CurveOpsBase
 
 
 def pick_window(n: int) -> int:
-    """Pippenger window size: ~log2(n) - 6, clamped to [4, 16]."""
+    """Pippenger window size: ~log2(n) - 6, clamped to [4, 16].
+
+    SNARK_TPU_MSM_WINDOW caps the choice (some large window shapes
+    currently fault the axon TPU worker; see ROADMAP.md)."""
+    import os
+
     if n <= 32:
-        return 4
-    return int(max(4, min(16, math.floor(math.log2(n)) - 6)))
+        c = 4
+    else:
+        c = int(max(4, min(16, math.floor(math.log2(n)) - 6)))
+    cap = int(os.environ.get("SNARK_TPU_MSM_WINDOW", "0"))
+    if cap:
+        c = min(c, cap)
+    return c
 
 
 def scalars_to_digits(scalars: np.ndarray, c: int, num_bits: int) -> np.ndarray:
