@@ -209,8 +209,11 @@ def get_msm_plan(
     return plan
 
 
-def memory_aware_window_chunk(n: int, k_limbs: int, budget_bytes: float = 4e9):
-    """Cap the (wc, N, 3, K) sorted-points gather at ~budget_bytes."""
+def memory_aware_window_chunk(n: int, k_limbs: int, budget_bytes: float = 1.2e9):
+    """Cap the (wc, N, 3, K) sorted-points gather at ~budget_bytes.
+
+    Budget chosen empirically: a 1.6 GB gather compiles and runs on the v5e
+    tunnel; a 3.2 GB one crashes the remote compile helper."""
     per_window = n * 3 * k_limbs * 4
     return max(1, int(budget_bytes // max(per_window, 1)))
 
