@@ -1,0 +1,259 @@
+"""Pallas Montgomery multiply, v3 — lazy bounds + MXU-reduced pipeline.
+
+Builds arkworks-ff's Montgomery multiply capability (SURVEY.md §2.3,
+ark-ff usage at constraint_system.rs:21, sr1cs/mod.rs:166) the TPU way.
+
+Why v3 beats v2 (~20M muls/s sync-forced on v5e):
+
+  * v2 spends most of its vector slots in *strict* normalization (4 carry
+    sweeps + a Kogge-Stone lookahead after every stage). v3 drops
+    canonicality as an internal invariant entirely: every stage only
+    normalizes far enough that the NEXT stage's f32 arithmetic stays exact
+    (3 sweeps bound digits by 256 from any <=2^23 lazy state; no lookahead
+    anywhere in the hot path).
+  * The two constant multiplications of Montgomery reduction
+    (m = t·N' mod R and m·P) are banded-constant convolutions — i.e.
+    matmuls by a fixed (digits x digits) matrix. v3 runs them on the MXU
+    as bf16 x bf16 -> f32 matmuls (both factors are integers <= 256, so
+    bf16 is exact and f32 accumulation of <= 2^21-bounded sums is exact).
+    Only the variable x variable product remains on the VPU.
+  * The final "divide by R" uses an exact float trick instead of proving
+    the low half zero digit-by-digit: value(s_lo) is divisible by R, and
+    carry = value(s_lo)/R <= 2^15 can be summed as s_lo[i]·2^{8(i-32)} in
+    f32 with total rounding error < 0.05, then rounded to the exact
+    integer. 12 rows suffice (lower terms < 2^-73).
+
+Value/digit invariants (per-field, p/R <= 0.23 for all four fields):
+
+  * mul inputs:  digits |d| <= 724 (so 32-term digit-product sums < 2^24,
+    exact in f32), value in [0, 2.7p].
+  * mul output:  digits in [0, 256], value <= 0.23·2.7²·p + 1.01p < 2.7p.
+    (For canonical-ish inputs <= 1.3p the output value is <= 1.4p.)
+  * add = plain digit add (no sweep): safe as a mul input for one level
+    (256+256 = 512 <= 724). Deeper adder trees insert single sweeps.
+  * sub(A, B) = A + (k·p - B) with k·p >= value(B) baked as a constant:
+    digits in (-256, 512), still mul-safe; value stays nonnegative.
+
+All in-kernel routines are pure jnp on (R8, T) f32 digit planes
+("plane-major": base-256 digits on sublanes, batch on lanes) so they run
+under interpret=True for CPU tests and compose into larger fused kernels
+(curve adds, NTT butterflies) without HBM round-trips.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields.params import FieldParams
+from .pallas_field import digits8_from_limbs, limbs_from_digits8
+
+F32 = jnp.float32
+BF16 = jnp.bfloat16
+INV256 = np.float32(1.0 / 256.0)
+
+# rows of s_lo that contribute >= 2^-73 to the carry (see module doc)
+_CARRY_ROWS = 12
+
+
+def _sweep(z):
+    """One base-256 carry sweep via static row slices (sign-correct)."""
+    c = jnp.floor(z * INV256)
+    r = z - 256.0 * c
+    return jnp.concatenate([r[:1], r[1:] + c[:-1]], axis=0)
+
+
+def _sweep_n(z, n):
+    for _ in range(n):
+        z = _sweep(z)
+    return z
+
+
+def sweep3(z):
+    """Digits <=2^23 lazy -> digits in [0,256] (or (-256,256) if signed).
+
+    Three sweeps: 2^23 -> 255+2^15 -> 255+129 -> 255+1. Carry out of the
+    top row is DROPPED (callers rely on this only where value is known
+    < 256^rows, or where mod-R truncation is wanted).
+    """
+    return _sweep_n(z, 3)
+
+
+class PlaneFieldV3:
+    """Per-field constants + pure-jnp plane ops for fused kernels."""
+
+    def __init__(self, params: FieldParams):
+        self.params = params
+        self.L = params.num_limbs
+        R8 = self.R8 = 2 * self.L
+        p = params.modulus
+
+        def digits_col(v: int, rows: int) -> np.ndarray:
+            return np.array(
+                [(v >> (8 * i)) & 0xFF for i in range(rows)], dtype=np.float32
+            )[:, None]
+
+        def band(v: int, rows: int, cols: int) -> np.ndarray:
+            """Banded lower-triangular conv matrix: M[k, i] = digit_{k-i}(v)."""
+            d = [(v >> (8 * i)) & 0xFF for i in range(rows)]
+            m = np.zeros((rows, cols), dtype=np.float32)
+            for k in range(rows):
+                for i in range(cols):
+                    if 0 <= k - i < rows:
+                        m[k, i] = d[k - i]
+            return m
+
+        self.P_COL = digits_col(p, R8)
+        self.P2_COL = digits_col(2 * p, R8)
+        self.P4_COL = digits_col(4 * p, R8)
+        self.RMP_COL = digits_col(params.r - p, R8)
+        self.ONE_MONT_COL = digits_col(params.r % p, R8)
+        # MXU band matrices (all entries <= 255, bf16-exact)
+        self.M_NP = band(params.n_prime, R8, R8)  # (R8, R8): x -> x·N' mod R
+        self.M_P = band(p, 2 * R8, R8)  # (2R8, R8): x -> x·P
+        # carry-extraction scales: 2^{8(i-R8)} for the top _CARRY_ROWS rows
+        sc = np.zeros((R8, 1), dtype=np.float32)
+        for i in range(R8 - _CARRY_ROWS, R8):
+            sc[i, 0] = 2.0 ** (8 * (i - R8))
+        self.CARRY_SCALE = sc
+
+    # ------------------------------------------------------------------
+    # in-kernel ops ((R8, T) f32 planes; also valid as plain XLA ops)
+    # ------------------------------------------------------------------
+    def mul_acc(self, A, B, t_ref):
+        """t_ref[0:2R8] = A * B (lazy digit conv, digits < 2^24)."""
+        R8 = self.R8
+        t_ref[...] = jnp.zeros(t_ref.shape, F32)
+        for i in range(R8):
+            t_ref[i : i + R8, :] += A[i, :][None, :] * B
+
+    def reduce(self, t, m_np, m_p, carry_scale):
+        """Montgomery-reduce a lazy (2R8, T) product -> (R8, T), digits
+        in [0, 256] (signed inputs: (-256, 257)), value <= V²/R + 1.01p."""
+        R8 = self.R8
+        tlo = sweep3(t[:R8])  # mod-R truncation: top carry dropped
+        m = jnp.dot(
+            m_np, tlo.astype(BF16), preferred_element_type=F32
+        )
+        m = sweep3(m)  # digits in [0,256] (value may exceed R by 256^R8·eps; mod-R dropped)
+        mp = jnp.dot(m_p, m.astype(BF16), preferred_element_type=F32)
+        s = t + mp  # digits <= 2^22.6, low half value ≡ 0 mod R
+        carry = jnp.round(jnp.sum(s[:R8] * carry_scale, axis=0, keepdims=True))
+        hi = s[R8:]
+        out = jnp.concatenate([hi[:1] + carry, hi[1:]], axis=0)
+        return sweep3(out)
+
+    def mont_mul(self, A, B, t_ref, m_np, m_p, carry_scale):
+        """Full Montgomery product on planes (see class invariants)."""
+        self.mul_acc(A, B, t_ref)
+        return self.reduce(t_ref[...], m_np, m_p, carry_scale)
+
+    @staticmethod
+    def add(A, B):
+        """Plain digit add: one vector op, no carries (track digit bounds)."""
+        return A + B
+
+    def sub(self, A, B, kp_col):
+        """A - B + k·p (kp_col >= value(B) so the value stays >= 0)."""
+        return (A - B) + kp_col
+
+    @staticmethod
+    def _strict(z):
+        """Exact normalization to digits < 256 (4 sweeps + Kogge-Stone)."""
+        z = _sweep_n(z, 4)
+        R = z.shape[0]
+        g = (z >= 256.0).astype(F32)
+        pr = (z == 255.0).astype(F32)
+        shift = 1
+        G, P = g, pr
+        while shift < R:
+            pad = jnp.zeros((shift,) + G.shape[1:], F32)
+            G = jnp.maximum(G, P * jnp.concatenate([pad, G[:-shift]], 0))
+            P = P * jnp.concatenate([pad, P[:-shift]], 0)
+            shift <<= 1
+        z = z + jnp.concatenate([jnp.zeros((1,) + G.shape[1:], F32), G[:-1]], 0)
+        return z - 256.0 * jnp.floor(z * INV256)
+
+    def cond_sub_p(self, A, rmp_col):
+        """Canonical-digit A (value < 2p) -> A mod p.
+
+        A + (R-p) carries out of the top digit iff A >= p (strict compare
+        via the extended row).
+        """
+        ext = jnp.concatenate(
+            [A + rmp_col, jnp.zeros((1,) + A.shape[1:], F32)], 0
+        )
+        t = self._strict(ext)
+        ge = t[-1:] > 0
+        return jnp.where(ge, t[:-1], A)
+
+    def to_canonical(self, A, rmp_col):
+        """Lazy planes -> canonical digits (<256, value < p). Not hot-path."""
+        z = self._strict(A)
+        # canonical digits; subtract p up to twice (value < 2.7p)
+        for _ in range(2):
+            z = self.cond_sub_p(z, rmp_col)
+        return z
+
+
+@functools.lru_cache(maxsize=None)
+def get_plane_field_v3(params: FieldParams) -> PlaneFieldV3:
+    return PlaneFieldV3(params)
+
+
+def make_mont_mul_v3(params: FieldParams, tile: int = 512, interpret: bool = False):
+    """Standalone batched Montgomery mul: (N, L) u32 limbs -> (N, L) u32.
+
+    Canonical in, canonical out (final strict pass) — drop-in replacement
+    for make_mont_mul/make_mont_mul_v2 in tests and benchmarks.
+    """
+    pf = get_plane_field_v3(params)
+    R8 = pf.R8
+    L = pf.L
+    m_np_c = jnp.asarray(pf.M_NP)
+    m_p_c = jnp.asarray(pf.M_P)
+    cols = jnp.asarray(
+        np.concatenate([pf.CARRY_SCALE, pf.RMP_COL], axis=1).T  # (2, R8)
+    )
+
+    def kernel(mnp_ref, mp_ref, cols_ref, a_ref, b_ref, o_ref, t_ref):
+        A = a_ref[...].astype(F32)
+        B = b_ref[...].astype(F32)
+        carry_scale = cols_ref[0, :][:, None]
+        rmp = cols_ref[1, :][:, None]
+        out = pf.mont_mul(A, B, t_ref, mnp_ref[...], mp_ref[...], carry_scale)
+        out = pf.to_canonical(out, rmp)
+        o_ref[...] = out.astype(jnp.int32)
+
+    @jax.jit
+    def run(a, b):
+        n = a.shape[0]
+        n_pad = ((n + tile - 1) // tile) * tile
+        if n_pad != n:
+            a = jnp.pad(a, ((0, n_pad - n), (0, 0)))
+            b = jnp.pad(b, ((0, n_pad - n), (0, 0)))
+        a8 = digits8_from_limbs(a, L)
+        b8 = digits8_from_limbs(b, L)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((R8, n_pad), jnp.int32),
+            grid=(n_pad // tile,),
+            in_specs=[
+                pl.BlockSpec((R8, R8), lambda i: (0, 0)),
+                pl.BlockSpec((2 * R8, R8), lambda i: (0, 0)),
+                pl.BlockSpec((2, R8), lambda i: (0, 0)),
+                pl.BlockSpec((R8, tile), lambda i: (0, i)),
+                pl.BlockSpec((R8, tile), lambda i: (0, i)),
+            ],
+            out_specs=pl.BlockSpec((R8, tile), lambda i: (0, i)),
+            scratch_shapes=[pltpu.VMEM((2 * R8, tile), F32)],
+            interpret=interpret,
+        )(m_np_c.astype(BF16), m_p_c.astype(BF16), cols, a8, b8)
+        return limbs_from_digits8(out, L)[:n]
+
+    return run
