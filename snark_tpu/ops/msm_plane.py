@@ -1,0 +1,300 @@
+"""Pippenger MSM over fused Pallas curve kernels (plane layout).
+
+Same algorithm shape as ops/msm.py (sort + bucket-parallel scan — the
+TPU-native recast of ark-ec's VariableBaseMSM, SURVEY.md §2.3/§7), but the
+group arithmetic is the fused Pallas complete-add kernel on digit planes
+(ops/pallas_curve.py), and the sorted-points array is never materialized:
+each scan step double-gathers (perm, then points) only the (W·2^c)-lane
+frontier, so peak memory is O(W·2^c) points instead of O(W·N).
+
+Phases (all device, inside one jit):
+  1. per-window sort of digits with index payload (XLA sort);
+  2. searchsorted -> per-bucket [start, length);
+  3. while-loop: one masked fused add per step, W·2^c lanes in parallel;
+  4. bucket reduction Σ b·B_b: stride-doubling suffix scan + total sum
+     (2c masked-add steps over the same lanes);
+  5. window combine: Horner with the fused double kernel (or host).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.params import CurveParams
+from .pallas_field_v3 import BF16, F32
+from .pallas_curve import (
+    get_plane_curve,
+    make_masked_add,
+    make_point_add,
+    make_point_double,
+    pack_points_host,
+    unpack_points_host,
+)
+
+
+class PlaneMsm:
+    """Jitted plane-MSM executor for one (curve, c, num_bits, tile).
+
+    Replica keys: a window with only b < c digit bits (the top window of a
+    254-bit scalar at c=10 has 4) would produce 2^b huge buckets and blow
+    up the data-dependent scan length (max bucket size drives the while
+    loop for ALL windows). Instead every window gets exactly 2^c slots:
+    slot = digit·2^r | (i & (2^r - 1)) with r = c - b, i.e. each real
+    bucket is split across 2^r replica slots of uniform expected size.
+    Replicas are collapsed with r static masked folds before the bucket
+    reduction; the suffix scans then run on the 2^r-strided coarse grid
+    (masks precomputed per window — all static).
+    """
+
+    def __init__(
+        self,
+        curve: CurveParams,
+        c: int,
+        num_bits: int | None = None,
+        tile: int = 256,
+        interpret: bool = False,
+    ):
+        self.curve = curve
+        self.pc = get_plane_curve(curve)
+        self.c = c
+        self.num_bits = num_bits or curve.fr.num_bits
+        self.tile = tile
+        self.madd = make_masked_add(curve, tile, interpret)
+        self.add = make_point_add(curve, tile, interpret)
+        self.dbl = make_point_double(curve, tile, interpret)
+
+        nb = 1 << c
+        W = -(-self.num_bits // c)
+        self.W = W
+        bits_w = [min(c, self.num_bits - w * c) for w in range(W)]
+        r_w = np.array([c - b for b in bits_w], dtype=np.int64)
+        mult_w = (1 << r_w).astype(np.uint32)  # replicas per bucket
+        self.MULT = mult_w.reshape(W, 1)
+        slot = np.arange(nb, dtype=np.int64)[None, :]  # (1, nb)
+        rw = r_w[:, None]
+        mult = mult_w.astype(np.int64)[:, None]
+        # collapse fold masks, step j: fold slot += slot+2^j where
+        # r_w > j and slot % 2^{j+1} == 0
+        self.max_r = int(r_w.max())
+        self.COLLAPSE = [
+            ((rw > j) & (slot % (1 << (j + 1)) == 0)).reshape(1, W * nb)
+            for j in range(self.max_r)
+        ]
+        # suffix-scan masks, step k (stride 2^k): valid where the stride is
+        # on this window's coarse grid, the slot is a bucket slot, and the
+        # rolled-in neighbour exists
+        self.SCAN = [
+            (
+                ((1 << k) >= mult)
+                & (slot % mult == 0)
+                & (slot + (1 << k) < nb)
+            ).reshape(1, W * nb)
+            for k in range(c)
+        ]
+        # bucket-0 suppression (digit == 0 <=> slot < mult); also used to
+        # zero S_0 between the two scans
+        self.BUCKET0 = (slot < mult).reshape(1, W * nb)
+        self._sums = jax.jit(self._window_sums_impl)
+        self._combine = jax.jit(self._combine_impl)
+
+    # -- helpers ----------------------------------------------------------
+    def identity_planes(self, n: int):
+        pf = self.pc.pf
+        X = jnp.zeros((pf.R8, n), F32)
+        Y = jnp.broadcast_to(jnp.asarray(pf.ONE_MONT_COL), (pf.R8, n))
+        Z = jnp.zeros((pf.R8, n), F32)
+        return X, Y, Z
+
+    def _masked_step(self, acc, gathered, mask):
+        aX, aY, aZ = acc
+        gX, gY, gZ = gathered
+        return self.madd(aX, aY, aZ, gX, gY, gZ, mask)
+
+    # -- phase 1-4: per-window bucket sums ---------------------------------
+    def _window_sums_impl(self, table, digits_t):
+        """table (N, 2·R8+1) uint8 rows (X digits ‖ Y digits ‖ z-flag, in
+        wide-Mont canonical form); digits_t (W, N) uint32 -> (R8, W·pad)
+        triple of window totals in lanes [0, W).
+
+        Row-major u8 storage because XLA TPU gathers cost ~18 ns/row
+        regardless of width (measured): one u8 row gather per step beats
+        three f32 plane gathers 3x. The f32 cast + transpose back to plane
+        layout is bandwidth-cheap.
+        """
+        c = self.c
+        nb = 1 << c
+        W, n = digits_t.shape
+        R8 = self.pc.R8
+        lanes = W * nb
+        assert W == self.W, (W, self.W)
+        assert lanes % self.tile == 0, (W, nb, self.tile)
+        one_col = jnp.asarray(self.pc.pf.ONE_MONT_COL)  # (R8, 1)
+
+        iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.uint32), (W, n))
+        # replica slot key: digit·2^r | (i mod 2^r) — uniform bucket sizes
+        mult = jnp.asarray(self.MULT)  # (W, 1) uint32
+        keys = digits_t * mult + (iota & (mult - 1))
+        d_sorted, perm = jax.lax.sort_key_val(keys, iota, dimension=-1)
+
+        targets = jnp.broadcast_to(
+            jnp.arange(nb + 1, dtype=jnp.uint32), (W, nb + 1)
+        )
+        boundaries = jax.vmap(jnp.searchsorted)(d_sorted, targets)  # (W, nb+1)
+        start = boundaries[:, :-1].astype(jnp.int32)
+        length = (boundaries[:, 1:] - boundaries[:, :-1]).astype(jnp.int32)
+        # digit-0 slots contribute nothing
+        length = jnp.where(
+            jnp.asarray(self.BUCKET0).reshape(W, nb), 0, length
+        )
+        max_len = jnp.max(length)
+
+        acc = self.identity_planes(lanes)
+
+        def cond(state):
+            return state[0] < max_len
+
+        def body(state):
+            i, aX, aY, aZ = state
+            pos = jnp.minimum(start + i, n - 1)  # (W, nb)
+            idx = jnp.take_along_axis(perm, pos.astype(jnp.uint32), axis=1)
+            flat = idx.reshape(lanes)
+            rows = jnp.take(table, flat, axis=0)  # (lanes, 2R8+1) u8
+            rf = rows.astype(F32).T  # (2R8+1, lanes)
+            g = (rf[:R8], rf[R8 : 2 * R8], rf[2 * R8 : 2 * R8 + 1] * one_col)
+            mask = (i < length).reshape(1, lanes).astype(F32)
+            aX, aY, aZ = self._masked_step((aX, aY, aZ), g, mask)
+            return i + 1, aX, aY, aZ
+
+        _, bX, bY, bZ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), *acc)
+        )
+        acc3 = (bX, bY, bZ)
+
+        def rolled(acc3, stride):
+            def roll3(A):
+                return jnp.roll(
+                    A.reshape(A.shape[0], W, nb), -stride, axis=2
+                ).reshape(A.shape[0], lanes)
+
+            return tuple(roll3(a) for a in acc3)
+
+        # collapse replica slots: bucket b of window w lands at slot b·2^r
+        for j in range(self.max_r):
+            g = rolled(acc3, 1 << j)
+            mask = jnp.asarray(self.COLLAPSE[j]).astype(F32)
+            acc3 = self._masked_step(acc3, g, mask)
+
+        # Σ_b b·B_b per window == double suffix scan on the coarse grid:
+        # S_b = Σ_{j>=b} B_j, then Σ_{b>=1} S_b (see ops/msm.py).
+        def scan(acc3):
+            for k in range(c):
+                g = rolled(acc3, 1 << k)
+                mask = jnp.asarray(self.SCAN[k]).astype(F32)
+                acc3 = self._masked_step(acc3, g, mask)
+            return acc3
+
+        suffix = scan(acc3)
+        # zero out slot 0 (S_0 = Σ all; we want Σ_{b>=1} S_b)
+        idp = self.identity_planes(lanes)
+        slot_ids = jnp.arange(nb, dtype=jnp.int32)
+        is_s0 = (slot_ids == 0)[None, :]
+        mask0 = jnp.broadcast_to(is_s0, (W, nb)).reshape(1, lanes).astype(F32)
+        seeded = tuple(
+            mask0 * i + (1 - mask0) * s for i, s in zip(idp, suffix)
+        )
+        totals = scan(seeded)
+        # window totals live at slot 0 of each window
+        tX = totals[0].reshape(-1, W, nb)[:, :, 0]
+        tY = totals[1].reshape(-1, W, nb)[:, :, 0]
+        tZ = totals[2].reshape(-1, W, nb)[:, :, 0]
+        pad = self.tile - W % self.tile if W % self.tile else 0
+        if pad:
+            tX = jnp.pad(tX, ((0, 0), (0, pad)))
+            tY = jnp.pad(tY, ((0, 0), (0, pad)))
+            tZ = jnp.pad(tZ, ((0, 0), (0, pad)))
+        return tX, tY, tZ
+
+    # -- phase 5: Horner window combine on device --------------------------
+    def _combine_impl(self, tX, tY, tZ, W: int):
+        c = self.c
+        tile = self.tile
+        acc = self.identity_planes(tile)
+
+        def window_body(w, acc3):
+            def dbl_step(_, a3):
+                return self.dbl(*a3)
+
+            acc3 = jax.lax.fori_loop(0, c, dbl_step, acc3)
+            wi = W - 1 - w
+            q = tuple(
+                jnp.pad(
+                    jax.lax.dynamic_slice_in_dim(t, wi, 1, axis=1),
+                    ((0, 0), (0, tile - 1)),
+                )
+                for t in (tX, tY, tZ)
+            )
+            return self.add(*acc3, *q)
+
+        aX, aY, aZ = jax.lax.fori_loop(0, W, window_body, acc)
+        return aX[:, :1], aY[:, :1], aZ[:, :1]
+
+    # -- public API ---------------------------------------------------------
+    def window_sums(self, table, digits):
+        """table (N, 2R8+1) uint8 point rows; digits (N, W) uint32."""
+        return self._sums(table, jnp.asarray(digits).T)
+
+    def msm(self, table, digits):
+        """Full MSM on device -> (X, Y, Z) single-lane planes."""
+        W = int(digits.shape[1])
+        tX, tY, tZ = self.window_sums(table, digits)
+        return self._combine(tX, tY, tZ, W)
+
+    def msm_host(self, table, digits, host_curve):
+        """Window sums on device, Horner combine on host (robust path)."""
+        W = int(digits.shape[1])
+        tX, tY, tZ = self.window_sums(table, digits)
+        affs = unpack_points_host(
+            self.pc, np.asarray(tX[:, :W]), np.asarray(tY[:, :W]), np.asarray(tZ[:, :W])
+        )
+        acc = None
+        for w in range(W - 1, -1, -1):
+            for _ in range(self.c):
+                acc = host_curve.double(acc)
+            acc = host_curve.add(acc, affs[w])
+        return acc
+
+
+_PLANS: dict = {}
+
+
+def get_plane_msm(
+    curve: CurveParams,
+    c: int,
+    num_bits: int | None = None,
+    tile: int = 256,
+    interpret: bool = False,
+) -> PlaneMsm:
+    key = (curve.name, c, num_bits, tile, interpret)
+    plan = _PLANS.get(key)
+    if plan is None:
+        plan = PlaneMsm(curve, c, num_bits, tile, interpret)
+        _PLANS[key] = plan
+    return plan
+
+
+def pick_window_plane(n: int, budget_bytes: float = 2e9) -> int:
+    """Pippenger window for the plane MSM: ~log2(n)-6 clamped to [8, 16],
+    further capped so W·2^c bucket accumulators fit the memory budget."""
+    import math
+
+    c = int(max(8, min(16, math.floor(math.log2(max(n, 256))) - 6)))
+    while c > 8:
+        W = -(-256 // c)
+        if W * (1 << c) * 3 * 40 * 4 <= budget_bytes:
+            break
+        c -= 1
+    return c

@@ -85,13 +85,26 @@ def sweep3(z):
 
 
 class PlaneFieldV3:
-    """Per-field constants + pure-jnp plane ops for fused kernels."""
+    """Per-field constants + pure-jnp plane ops for fused kernels.
 
-    def __init__(self, params: FieldParams):
+    `extra_digits` widens Montgomery R beyond the minimal 2L base-256
+    digits. With extra=2, p/R <= 2^-17, so a Montgomery product of ANY two
+    lazily-bounded inputs (values <= ~16p) lands in [0, ~2p] — curve
+    formulas never need conditional subtractions, only digit-bound sweeps.
+    The cost is (34/32)² ≈ 13% more multiply work; the savings are every
+    cond-sub/canonicalization in the point-add hot loop.
+    """
+
+    def __init__(self, params: FieldParams, extra_digits: int = 0):
         self.params = params
         self.L = params.num_limbs
-        R8 = self.R8 = 2 * self.L
+        self.extra = extra_digits
+        R8 = self.R8 = 2 * self.L + extra_digits
         p = params.modulus
+        self.r_eff = 1 << (8 * R8)
+        self.n_prime_eff = (-pow(p, -1, self.r_eff)) % self.r_eff
+        self.r2_eff = self.r_eff * self.r_eff % p
+        self.one_mont_val = self.r_eff % p
 
         def digits_col(v: int, rows: int) -> np.ndarray:
             return np.array(
@@ -108,13 +121,17 @@ class PlaneFieldV3:
                         m[k, i] = d[k - i]
             return m
 
+        self._digits_col = digits_col
+        self._band = band
         self.P_COL = digits_col(p, R8)
         self.P2_COL = digits_col(2 * p, R8)
         self.P4_COL = digits_col(4 * p, R8)
-        self.RMP_COL = digits_col(params.r - p, R8)
-        self.ONE_MONT_COL = digits_col(params.r % p, R8)
+        self.KP_COLS = {k: digits_col(k * p, R8) for k in range(1, 17)}
+        self.RMP_COL = digits_col(self.r_eff - p, R8)
+        self.ONE_MONT_COL = digits_col(self.one_mont_val, R8)
+        self.R2_COL = digits_col(self.r2_eff, R8)
         # MXU band matrices (all entries <= 255, bf16-exact)
-        self.M_NP = band(params.n_prime, R8, R8)  # (R8, R8): x -> x·N' mod R
+        self.M_NP = band(self.n_prime_eff, R8, R8)  # (R8, R8): x -> x·N' mod R
         self.M_P = band(p, 2 * R8, R8)  # (2R8, R8): x -> x·P
         # carry-extraction scales: 2^{8(i-R8)} for the top _CARRY_ROWS rows
         sc = np.zeros((R8, 1), dtype=np.float32)
@@ -132,26 +149,74 @@ class PlaneFieldV3:
         for i in range(R8):
             t_ref[i : i + R8, :] += A[i, :][None, :] * B
 
-    def reduce(self, t, m_np, m_p, carry_scale):
-        """Montgomery-reduce a lazy (2R8, T) product -> (R8, T), digits
-        in [0, 256] (signed inputs: (-256, 257)), value <= V²/R + 1.01p."""
+    def reduce(self, t, m_np, m_p, carry_scale, plus_p=None):
+        """Montgomery-reduce a lazy (2R8, T) product -> (R8, T).
+
+        Signed digit inputs (|d| <= 2^22) are fine: sweeps are sign-correct
+        and bf16 is exact on [-256, 256]. With signed digits value(m) may be
+        negative, making the result land in (-p, V²/R + 1.01p); pass
+        `plus_p` (the P_COL constant, as an input ref slice) to fold a +p
+        and keep values nonnegative — required when composing in fused
+        kernels. Output digits in [-1, 256] (nonneg inputs: [0, 256]).
+        """
         R8 = self.R8
         tlo = sweep3(t[:R8])  # mod-R truncation: top carry dropped
         m = jnp.dot(
             m_np, tlo.astype(BF16), preferred_element_type=F32
         )
-        m = sweep3(m)  # digits in [0,256] (value may exceed R by 256^R8·eps; mod-R dropped)
+        m = sweep3(m)  # digits in [-1,256]; value ≡ t·N' (mod R)
         mp = jnp.dot(m_p, m.astype(BF16), preferred_element_type=F32)
         s = t + mp  # digits <= 2^22.6, low half value ≡ 0 mod R
         carry = jnp.round(jnp.sum(s[:R8] * carry_scale, axis=0, keepdims=True))
         hi = s[R8:]
         out = jnp.concatenate([hi[:1] + carry, hi[1:]], axis=0)
+        if plus_p is not None:
+            out = out + plus_p
         return sweep3(out)
 
-    def mont_mul(self, A, B, t_ref, m_np, m_p, carry_scale):
+    def mont_mul(self, A, B, t_ref, m_np, m_p, carry_scale, plus_p=None):
         """Full Montgomery product on planes (see class invariants)."""
         self.mul_acc(A, B, t_ref)
-        return self.reduce(t_ref[...], m_np, m_p, carry_scale)
+        return self.reduce(t_ref[...], m_np, m_p, carry_scale, plus_p)
+
+    def const_band(self, c_mont: int) -> np.ndarray:
+        """(2R8, R8) band matrix for multiply-by-constant (c in Mont form):
+        conv(x, c) == M_C @ x, to be fed through `reduce`. MXU-only mul."""
+        return self._band(c_mont, 2 * self.R8, self.R8)
+
+    def mul_const(self, X, m_c, m_np, m_p, carry_scale, plus_p=None):
+        """X·c with c baked in m_c = const_band(c_mont). X digits must be
+        bf16-exact ([-256, 256]) — sweep3 first if lazy."""
+        t = jnp.dot(m_c, X.astype(BF16), preferred_element_type=F32)
+        return self.reduce(t, m_np, m_p, carry_scale, plus_p)
+
+    # ------------------------------------------------------------------
+    # host codecs (test/ingestion use; device bulk conversion via mul R2)
+    # ------------------------------------------------------------------
+    def pack_np(self, vals, mont: bool = True) -> np.ndarray:
+        """Python ints -> (R8, N) f32 digit planes (Mont form by default)."""
+        p = self.params.modulus
+        out = np.zeros((self.R8, len(vals)), dtype=np.float32)
+        for j, v in enumerate(vals):
+            v = v % p
+            if mont:
+                v = v * self.r_eff % p
+            for i in range(self.R8):
+                out[i, j] = (v >> (8 * i)) & 0xFF
+        return out
+
+    def unpack_np(self, planes, mont: bool = True) -> list[int]:
+        """(R8, N) lazy/canonical digit planes -> python ints (mod p)."""
+        p = self.params.modulus
+        d = np.asarray(planes, dtype=np.int64)
+        rinv = pow(self.r_eff, -1, p)
+        out = []
+        for j in range(d.shape[1]):
+            v = int(sum(int(x) << (8 * i) for i, x in enumerate(d[:, j])))
+            if mont:
+                v = v * rinv
+            out.append(v % p)
+        return out
 
     @staticmethod
     def add(A, B):
@@ -202,8 +267,8 @@ class PlaneFieldV3:
 
 
 @functools.lru_cache(maxsize=None)
-def get_plane_field_v3(params: FieldParams) -> PlaneFieldV3:
-    return PlaneFieldV3(params)
+def get_plane_field_v3(params: FieldParams, extra_digits: int = 0) -> PlaneFieldV3:
+    return PlaneFieldV3(params, extra_digits)
 
 
 def make_mont_mul_v3(params: FieldParams, tile: int = 512, interpret: bool = False):
