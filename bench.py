@@ -4,15 +4,17 @@ Prints ONE JSON line:
   {"metric": "msm_point_adds_per_s", "value": N, "unit": "adds/s",
    "vs_baseline": N / 1e8, ...}
 
-Work accounting: the bucket pipeline performs, per window,
-  N point-adds (bucket-parallel scan over the sorted shard)
-+ 2·c·2^c (suffix scan + total sum, batched) and the window combine runs
-as ~num_bits doublings on host. point-adds/s = total group operations /
-wall-clock. Baseline target: 1e8 adds/s/chip (BASELINE.md).
+Pipeline under test: the fused-Pallas plane MSM (ops/msm_plane.py) — the
+whole MSM (sort, bucket scan with fused RCB15 complete adds, bucket
+reduction, Horner window combine) runs on device in one dispatch per
+phase, so the axon tunnel's ~25 ms per-dispatch latency (measured; it
+dominated all per-op timing on this setup) is amortized over seconds of
+device work. Timed region = full MSM including the device->host readback
+of the final point.
 
-Timing is sync-forced: the host window-combine consumes the device sums, so
-every iteration includes a real device->host round trip (the axon tunnel's
-block_until_ready alone does NOT guarantee completion — measured).
+Work accounting (group ops actually performed): per window N masked adds
+(bucket scan) + 2·c·2^c (suffix scan + total) + replica collapses, plus
+c doublings + 1 add per window in the combine. Baseline: 1e8 adds/s/chip.
 """
 
 from __future__ import annotations
@@ -38,58 +40,68 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from snark_tpu.fields import BN254, Fp
-    from snark_tpu.ops.curve import get_g1_ops
+    from snark_tpu.fields import BN254
+    from snark_tpu.fields.host import Fp
     from snark_tpu.ops.curve_host import host_g1
-    from snark_tpu.ops.msm import (
-        msm_host_combine,
-        pick_window,
-        scalars_to_digits,
+    from snark_tpu.ops.msm import scalars_to_digits
+    from snark_tpu.ops.msm_plane import get_plane_msm
+    from snark_tpu.ops.pallas_curve import (
+        get_plane_curve,
+        pack_rows_u8_host,
+        unpack_points_host,
     )
 
-    # Default 2^14: the 2^16/c=10 program currently crashes the axon TPU
-    # worker ("kernel fault"); 2^14/c=8 is validated end-to-end (correct=true)
-    # on the real chip. Override with BENCH_LOG_N / BENCH_WINDOW.
-    log_n = int(os.environ.get("BENCH_LOG_N", "14"))
+    log_n = int(os.environ.get("BENCH_LOG_N", "20"))
+    c = int(os.environ.get("BENCH_WINDOW", "12"))
     n = 1 << log_n
     curve = BN254
-    fr = Fp(curve.fr)
-    ops = get_g1_ops(curve)
+    pc = get_plane_curve(curve)
     hc = host_g1(curve)
+    fr = Fp(curve.fr)
     rng = random.Random(7)
 
     # points: a small pool of distinct curve points tiled to N (point
-    # distribution does not affect the group-op cost)
+    # distribution does not affect the group-op cost; it enables an exact
+    # host correctness check without N host scalar-muls)
     pool = [hc.scalar_mul(hc.generator, k + 1) for k in range(64)]
-    pts = jnp.asarray(
-        np.tile(np.asarray(ops.pack_affine_host(pool)), (n // 64, 1, 1))
-    )
+    table = jnp.asarray(np.tile(pack_rows_u8_host(pc, pool), (n // 64, 1)))
 
-    scalars = [fr.rand(rng) for _ in range(n)]
+    scalars = [rng.randrange(0, curve.fr.modulus) for _ in range(n)]
     nbits = curve.fr.num_bits
-    c = int(os.environ.get("BENCH_WINDOW", "0")) or pick_window(n)
-    digits = np.asarray(scalars_to_digits(fr.to_limbs_array(scalars), c, nbits))
+    # device-resident digits: in the prover pipeline digit extraction is a
+    # device op (ops/msm.digits_from_limbs_device); re-uploading 92 MB per
+    # iteration through the tunnel would otherwise dominate the timing
+    digits = jnp.asarray(scalars_to_digits(fr.to_limbs_array(scalars), c, nbits))
+    W = digits.shape[1]
 
-    # warmup / compile (host combine forces a full sync)
-    result = msm_host_combine(ops, hc, pts, digits, c)
+    plan = get_plane_msm(curve, c)
+
+    # warmup / compile
+    X, Y, Z = plan.msm(table, digits)
+    out0 = (np.asarray(X), np.asarray(Y), np.asarray(Z))
 
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.time()
     for _ in range(iters):
-        result = msm_host_combine(ops, hc, pts, digits, c)
+        X, Y, Z = plan.msm(table, digits)
+        np.asarray(X)  # full sync through the tunnel
     dt = (time.time() - t0) / iters
 
-    # correctness spot-check: points are the pool tiled, so the expected MSM
-    # is Σ_j pool_j · (Σ_{i ≡ j (64)} s_i) — 64 host scalar-muls, not n
+    # correctness: expected = Σ_j pool_j · (Σ_{i ≡ j (64)} s_i)
+    got = unpack_points_host(pc, *out0)[0]
     agg = [0] * 64
     for i, s in enumerate(scalars):
-        agg[i % 64] = (agg[i % 64] + s) % fr.p
+        agg[i % 64] = (agg[i % 64] + s) % curve.fr.modulus
     want = hc.msm(pool, agg)
-    ok = result == want
+    ok = got == want
 
-    W = -(-nbits // c)
-    adds_per_window = n + 2 * c * (1 << c) + c
-    total_adds = W * adds_per_window
+    max_r = plan.max_r
+    total_adds = (
+        W * n  # bucket scan
+        + 2 * c * W * (1 << c)  # suffix + total scans
+        + max_r * W * (1 << c)  # replica collapse
+        + W * (c + 1)  # Horner combine
+    )
     adds_per_s = total_adds / dt
     print(
         json.dumps(
@@ -106,7 +118,7 @@ def main():
                     "curve": "bn254_g1",
                     "correct": bool(ok),
                     "backend": jax.default_backend(),
-                    "field_impl": os.environ.get("SNARK_TPU_FIELD_IMPL", "u32"),
+                    "pipeline": "pallas_plane_msm",
                 },
             }
         )
