@@ -18,7 +18,7 @@ input pairs (doubling, identity, inverses) — branch-free SPMD.
 Value/digit bound ledger for one add round (units of p; ε = p/R <= 2^-17,
 so every mul output is <= 2.04 + ε·(v_a·v_b) ≈ 2.05 =: μ):
 
-    inputs            v <= 5.05, digits [-1, 256]   (the add's own output)
+    inputs            v <= 2.05, digits [-1, 256]   (the add's own output)
     coordinate sums   <= 2v,     digits [-2, 512]
     t0,t1,t2          <= μ       [-1, 256]
     t3,t4,Y3pre       <= μ+5     [-513, 513]   (sub constant K1 = 5p)
@@ -27,14 +27,15 @@ so every mul output is <= 2.04 + ε·(v_a·v_b) ≈ 2.05 =: μ):
     Y3' = b3·Y3pre    <= μ       [-1, 256]     (sweep3 then MXU)
     Z3pre = t1+t2'    <= 2μ      [-2, 512]
     t1' = t1-t2'+3p   <= μ+3     [-257, 512]
-    final products    <= μ       [-1, 256]
-    X3 = Q1-Q0+3p     <= μ+3     [-257, 512] -> sweep3 -> [-1, 256]
-    Y3, Z3 = sums     <= 2μ      [-2, 512]   -> sweep3 -> [-1, 256]
+    X3/Y3/Z3          <= μ       [-1, 256]     (fused product PAIRS: both
+                      wide convs accumulate in t_ref — paired lazy digits
+                      < 2^23.8, exact — then ONE Montgomery reduce, whose
+                      final sweep3 is the output normalization)
 
 Every multiply input satisfies |digits| <= 513 (exactness needs <= 702
 for R8 = 34) and value <= 7.1p (R-overflow needs <= ~2^7·p). Fixpoint:
-output value bound 5.05p == assumed input bound. Ingestion from host or
-from narrow-R arrays must deliver digits <= 256 and value <= 5p.
+output value bound 2.05p <= assumed input bound 2.05p. Ingestion from
+host or from narrow-R arrays must deliver digits <= 256 and value <= 2p.
 """
 
 from __future__ import annotations
@@ -106,15 +107,13 @@ class PlaneCurve:
         y3 = cmul_b3(sweep3(y3p))
         z3p = t1 + t2p
         t1p = (t1 - t2p) + p3
-        q0 = mul(t4, y3)
-        q1 = mul(t3, t1p)
-        q2 = mul(y3, t0p)
-        q3 = mul(t1p, z3p)
-        q4 = mul(t0p, t3)
-        q5 = mul(z3p, t4)
-        X3 = sweep3((q1 - q0) + p3)
-        Y3 = sweep3(q3 + q2)
-        Z3 = sweep3(q5 + q4)
+        # fused product pairs: one Montgomery reduction per output coord
+        # (paired lazy digits < 2^23.8, exact; see mont_mul_pair)
+        X3 = pf.mont_mul_pair(
+            t3, t1p, t4, y3, t_ref, mnp, mp, carry, plus_p=p1, scale2=-1.0
+        )
+        Y3 = pf.mont_mul_pair(t1p, z3p, y3, t0p, t_ref, mnp, mp, carry, plus_p=p1)
+        Z3 = pf.mont_mul_pair(z3p, t4, t0p, t3, t_ref, mnp, mp, carry, plus_p=p1)
         return X3, Y3, Z3
 
     def double_body(self, P, t_ref, mnp, mp, mb3, cols):
@@ -146,13 +145,11 @@ class PlaneCurve:
         y3a = t0 + b3z2
         t2t = _sweep(b3z2 + b3z2 + b3z2)
         t0n = (t0 - t2t) + p7  # value(t2t) <= 3μ ≈ 6.2p, so +7p keeps it nonneg
-        q0 = mul(b3z2, z3a)
-        q1 = mul(t1, z3a)
-        q2 = mul(t0n, y3a)
-        q3 = mul(t0n, xy)
-        X3 = sweep3(q3 + q3)
-        Y3 = sweep3(q0 + q2)
-        Z3 = sweep3(q1)
+        X3 = pf.mont_mul_x2(t0n, xy, t_ref, mnp, mp, carry, plus_p=p1)
+        Y3 = pf.mont_mul_pair(
+            b3z2, z3a, t0n, y3a, t_ref, mnp, mp, carry, plus_p=p1
+        )
+        Z3 = mul(t1, z3a)
         return X3, Y3, Z3
 
 

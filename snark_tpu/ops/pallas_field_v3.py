@@ -179,6 +179,37 @@ class PlaneFieldV3:
         self.mul_acc(A, B, t_ref)
         return self.reduce(t_ref[...], m_np, m_p, carry_scale, plus_p)
 
+    def mont_mul_pair(
+        self, A1, B1, A2, B2, t_ref, m_np, m_p, carry_scale, plus_p=None,
+        scale2=1.0,
+    ):
+        """(A1·B1 + scale2·A2·B2)·R^-1 — two products, ONE reduction.
+
+        The wide accumulations share t_ref; with input digits |d| <= 513
+        the paired lazy digits stay < 2^23.8 (exact). scale2 = -1.0 gives
+        a fused multiply-subtract (values can go negative; reduce handles
+        signed digits, and plus_p restores nonnegativity since each
+        product's reduced value is < 1.03p in magnitude).
+        """
+        R8 = self.R8
+        t_ref[...] = jnp.zeros(t_ref.shape, F32)
+        for i in range(R8):
+            t_ref[i : i + R8, :] += A1[i, :][None, :] * B1
+        A2s = A2 if scale2 == 1.0 else A2 * F32(scale2)
+        for i in range(R8):
+            t_ref[i : i + R8, :] += A2s[i, :][None, :] * B2
+        return self.reduce(t_ref[...], m_np, m_p, carry_scale, plus_p)
+
+    def mont_mul_x2(self, A, B, t_ref, m_np, m_p, carry_scale, plus_p=None):
+        """(2·A·B)·R^-1 — doubled product, one reduction (digits must give
+        2·conv < 2^24: |dA·dB|·R8 <= 2^23)."""
+        R8 = self.R8
+        t_ref[...] = jnp.zeros(t_ref.shape, F32)
+        A2 = A + A
+        for i in range(R8):
+            t_ref[i : i + R8, :] += A2[i, :][None, :] * B
+        return self.reduce(t_ref[...], m_np, m_p, carry_scale, plus_p)
+
     def const_band(self, c_mont: int) -> np.ndarray:
         """(2R8, R8) band matrix for multiply-by-constant (c in Mont form):
         conv(x, c) == M_C @ x, to be fed through `reduce`. MXU-only mul."""
