@@ -38,6 +38,8 @@ from ..ops.msm import (
     pick_window,
     scalars_to_digits,
 )
+from ..ops.msm_plane import get_plane_msm, pick_window_plane
+from ..ops.pallas_curve import get_plane_curve, table_from_query_u32
 from ..relations import (
     ConstraintSystem,
     ConstraintSystemRef,
@@ -86,6 +88,8 @@ class ProvingKey:
     beta_g1: tuple
     delta_g1: tuple
     # device-resident query tables (N, 3, K) projective Montgomery points
+    # (legacy layout: batch/dist paths; the single-chip prover uses the u8
+    # row tables below, the fused-Pallas MSM layout)
     a_query: jnp.ndarray
     b_g1_query: jnp.ndarray
     b_g2_query: jnp.ndarray
@@ -99,6 +103,12 @@ class ProvingKey:
     num_witness: int
     num_constraints: int
     domain_size: int
+    # (N, 2·K·R8+1) uint8 affine row tables for the plane MSM
+    a_tbl: jnp.ndarray = None
+    b_g1_tbl: jnp.ndarray = None
+    b_g2_tbl: jnp.ndarray = None
+    h_tbl: jnp.ndarray = None
+    l_tbl: jnp.ndarray = None
 
     # ----- persistence (checkpoint/resume: generate a pk once, reload) ---
     def save(self, path: str) -> None:
@@ -121,6 +131,11 @@ class ProvingKey:
             b_g2_query=np.asarray(self.b_g2_query),
             h_query=np.asarray(self.h_query),
             l_query=np.asarray(self.l_query),
+            a_tbl=np.asarray(self.a_tbl),
+            b_g1_tbl=np.asarray(self.b_g1_tbl),
+            b_g2_tbl=np.asarray(self.b_g2_tbl),
+            h_tbl=np.asarray(self.h_tbl),
+            l_tbl=np.asarray(self.l_tbl),
             mat_a_cols=np.asarray(self.mat_a.cols),
             mat_a_coeffs=np.asarray(self.mat_a.coeffs),
             mat_b_cols=np.asarray(self.mat_b.cols),
@@ -166,6 +181,11 @@ class ProvingKey:
             b_g2_query=jnp.asarray(z["b_g2_query"]),
             h_query=jnp.asarray(z["h_query"]),
             l_query=jnp.asarray(z["l_query"]),
+            a_tbl=jnp.asarray(z["a_tbl"]),
+            b_g1_tbl=jnp.asarray(z["b_g1_tbl"]),
+            b_g2_tbl=jnp.asarray(z["b_g2_tbl"]),
+            h_tbl=jnp.asarray(z["h_tbl"]),
+            l_tbl=jnp.asarray(z["l_tbl"]),
             mat_a=csr("mat_a"),
             mat_b=csr("mat_b"),
             mat_c=csr("mat_c"),
@@ -324,6 +344,17 @@ class Groth16:
         mat_b = PaddedCsr.from_rows(matrices[1], fr_params, nc)
         mat_c = PaddedCsr.from_rows(matrices[2], fr_params, nc)
 
+        # u8 affine row tables for the fused-Pallas plane MSM (host batch
+        # inversion; one-time setup cost, persisted via save/load)
+        pc = get_plane_curve(self.curve)
+        a_tbl = jnp.asarray(table_from_query_u32(pc, self.g1_ops, a_query))
+        b_g1_tbl = jnp.asarray(table_from_query_u32(pc, self.g1_ops, b_g1_query))
+        b_g2_tbl = jnp.asarray(
+            table_from_query_u32(pc, self.g2_ops, b_g2_query, "g2")
+        )
+        h_tbl = jnp.asarray(table_from_query_u32(pc, self.g1_ops, h_query))
+        l_tbl = jnp.asarray(table_from_query_u32(pc, self.g1_ops, l_query))
+
         pk = ProvingKey(
             vk=vk,
             beta_g1=g1.scalar_mul(g1.generator, beta),
@@ -333,6 +364,11 @@ class Groth16:
             b_g2_query=b_g2_query,
             h_query=h_query,
             l_query=l_query,
+            a_tbl=a_tbl,
+            b_g1_tbl=b_g1_tbl,
+            b_g2_tbl=b_g2_tbl,
+            h_tbl=h_tbl,
+            l_tbl=l_tbl,
             mat_a=mat_a,
             mat_b=mat_b,
             mat_c=mat_c,
@@ -398,24 +434,43 @@ class Groth16:
         h_mont = plan.h_from_evals(a_evals, b_evals, c_evals)  # (n, K)
         h_std = df.from_mont(h_mont[: n - 1])
 
-        # MSMs: device bucket sums + host window combine (the sequential
-        # doubling tail is latency-bound batch-1 work — host is faster).
-        # z digits extracted on host; h digits on device (stay on-chip).
+        # MSMs: fused-Pallas plane MSM, window sums on device + host Horner
+        # combine (the sequential doubling tail is latency-bound batch-1
+        # work — host is faster). z digits extracted on host; h digits on
+        # device (stay on-chip).
         nbits = self.curve.fr.num_bits
         z_limbs = fr.to_limbs_array(z)
         m = len(z)
-        c_z = pick_window(m)
-        z_digits = scalars_to_digits(z_limbs, c_z, nbits)
-        A_sum = msm_host_combine(self.g1_ops, self.hg1, pk.a_query, z_digits, c_z)
-        B_sum = msm_host_combine(self.g2_ops, self.hg2, pk.b_g2_query, z_digits, c_z)
-        B1_sum = msm_host_combine(self.g1_ops, self.hg1, pk.b_g1_query, z_digits, c_z)
-        L_sum = msm_host_combine(
-            self.g1_ops, self.hg1, pk.l_query, z_digits[ni:], c_z
-        )
-        c_h = pick_window(max(4, n - 1))
-        c_h = 1 << (c_h.bit_length() - 1)  # device digit extraction: 2^k
-        h_digits = df.window_digits(h_std, c_h, nbits)
-        H_sum = msm_host_combine(self.g1_ops, self.hg1, pk.h_query, h_digits, c_h)
+        if m >= 2048:
+            # fused-Pallas plane MSM (the production path; c >= 8 so the
+            # W·2^c bucket lanes amortize)
+            c_z = pick_window_plane(m)
+            z_digits = jnp.asarray(scalars_to_digits(z_limbs, c_z, nbits))
+            plan_g1 = get_plane_msm(self.curve, c_z, nbits)
+            plan_g2 = get_plane_msm(self.curve, c_z, nbits, group="g2")
+            A_sum = plan_g1.msm_host(pk.a_tbl, z_digits, self.hg1)
+            B_sum = plan_g2.msm_host(pk.b_g2_tbl, z_digits, self.hg2)
+            B1_sum = plan_g1.msm_host(pk.b_g1_tbl, z_digits, self.hg1)
+            L_sum = plan_g1.msm_host(pk.l_tbl, z_digits[ni:], self.hg1)
+            c_h = 8  # device digit extraction needs c | 16
+            h_digits = df.window_digits(h_std, c_h, nbits)
+            plan_h = get_plane_msm(self.curve, c_h, nbits)
+            H_sum = plan_h.msm_host(pk.h_tbl, h_digits, self.hg1)
+        else:
+            # small circuits: the bucket-lane setup of the plane MSM
+            # (W·2^c lanes) dwarfs N — use the legacy batched-XLA path
+            c_z = pick_window(m)
+            z_digits = scalars_to_digits(z_limbs, c_z, nbits)
+            A_sum = msm_host_combine(self.g1_ops, self.hg1, pk.a_query, z_digits, c_z)
+            B_sum = msm_host_combine(self.g2_ops, self.hg2, pk.b_g2_query, z_digits, c_z)
+            B1_sum = msm_host_combine(self.g1_ops, self.hg1, pk.b_g1_query, z_digits, c_z)
+            L_sum = msm_host_combine(
+                self.g1_ops, self.hg1, pk.l_query, z_digits[ni:], c_z
+            )
+            c_h = pick_window(max(4, n - 1))
+            c_h = 1 << (c_h.bit_length() - 1)
+            h_digits = df.window_digits(h_std, c_h, nbits)
+            H_sum = msm_host_combine(self.g1_ops, self.hg1, pk.h_query, h_digits, c_h)
 
         # assemble on host (O(1) point ops)
         g1, g2 = self.hg1, self.hg2

@@ -56,16 +56,19 @@ class PlaneMsm:
         c: int,
         num_bits: int | None = None,
         tile: int = 256,
-        interpret: bool = False,
+        interpret: bool | None = None,
+        group: str = "g1",
     ):
         self.curve = curve
         self.pc = get_plane_curve(curve)
         self.c = c
+        self.group = group
+        self.K = 1 if group == "g1" else 2
         self.num_bits = num_bits or curve.fr.num_bits
         self.tile = tile
-        self.madd = make_masked_add(curve, tile, interpret)
-        self.add = make_point_add(curve, tile, interpret)
-        self.dbl = make_point_double(curve, tile, interpret)
+        self.madd = make_masked_add(curve, tile, interpret, group=group)
+        self.add = make_point_add(curve, tile, interpret, group=group)
+        self.dbl = make_point_double(curve, tile, interpret, group=group)
 
         nb = 1 << c
         W = -(-self.num_bits // c)
@@ -104,9 +107,14 @@ class PlaneMsm:
     # -- helpers ----------------------------------------------------------
     def identity_planes(self, n: int):
         pf = self.pc.pf
-        X = jnp.zeros((pf.R8, n), F32)
-        Y = jnp.broadcast_to(jnp.asarray(pf.ONE_MONT_COL), (pf.R8, n))
-        Z = jnp.zeros((pf.R8, n), F32)
+        KR = self.K * pf.R8
+        X = jnp.zeros((KR, n), F32)
+        one = np.concatenate(
+            [pf.ONE_MONT_COL] + [np.zeros_like(pf.ONE_MONT_COL)] * (self.K - 1),
+            axis=0,
+        )
+        Y = jnp.broadcast_to(jnp.asarray(one), (KR, n))
+        Z = jnp.zeros((KR, n), F32)
         return X, Y, Z
 
     def _masked_step(self, acc, gathered, mask):
@@ -128,11 +136,16 @@ class PlaneMsm:
         c = self.c
         nb = 1 << c
         W, n = digits_t.shape
-        R8 = self.pc.R8
+        KR = self.K * self.pc.R8
         lanes = W * nb
         assert W == self.W, (W, self.W)
         assert lanes % self.tile == 0, (W, nb, self.tile)
-        one_col = jnp.asarray(self.pc.pf.ONE_MONT_COL)  # (R8, 1)
+        one_np = np.concatenate(
+            [self.pc.pf.ONE_MONT_COL]
+            + [np.zeros_like(self.pc.pf.ONE_MONT_COL)] * (self.K - 1),
+            axis=0,
+        )
+        one_col = jnp.asarray(one_np)  # (K·R8, 1)
 
         iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.uint32), (W, n))
         # replica slot key: digit·2^r | (i mod 2^r) — uniform bucket sizes
@@ -162,9 +175,9 @@ class PlaneMsm:
             pos = jnp.minimum(start + i, n - 1)  # (W, nb)
             idx = jnp.take_along_axis(perm, pos.astype(jnp.uint32), axis=1)
             flat = idx.reshape(lanes)
-            rows = jnp.take(table, flat, axis=0)  # (lanes, 2R8+1) u8
-            rf = rows.astype(F32).T  # (2R8+1, lanes)
-            g = (rf[:R8], rf[R8 : 2 * R8], rf[2 * R8 : 2 * R8 + 1] * one_col)
+            rows = jnp.take(table, flat, axis=0)  # (lanes, 2·K·R8+1) u8
+            rf = rows.astype(F32).T  # (2·K·R8+1, lanes)
+            g = (rf[:KR], rf[KR : 2 * KR], rf[2 * KR : 2 * KR + 1] * one_col)
             mask = (i < length).reshape(1, lanes).astype(F32)
             aX, aY, aZ = self._masked_step((aX, aY, aZ), g, mask)
             return i + 1, aX, aY, aZ
@@ -258,7 +271,11 @@ class PlaneMsm:
         W = int(digits.shape[1])
         tX, tY, tZ = self.window_sums(table, digits)
         affs = unpack_points_host(
-            self.pc, np.asarray(tX[:, :W]), np.asarray(tY[:, :W]), np.asarray(tZ[:, :W])
+            self.pc,
+            np.asarray(tX[:, :W]),
+            np.asarray(tY[:, :W]),
+            np.asarray(tZ[:, :W]),
+            group=self.group,
         )
         acc = None
         for w in range(W - 1, -1, -1):
@@ -276,12 +293,13 @@ def get_plane_msm(
     c: int,
     num_bits: int | None = None,
     tile: int = 256,
-    interpret: bool = False,
+    interpret: bool | None = None,
+    group: str = "g1",
 ) -> PlaneMsm:
-    key = (curve.name, c, num_bits, tile, interpret)
+    key = (curve.name, c, num_bits, tile, interpret, group)
     plan = _PLANS.get(key)
     if plan is None:
-        plan = PlaneMsm(curve, c, num_bits, tile, interpret)
+        plan = PlaneMsm(curve, c, num_bits, tile, interpret, group)
         _PLANS[key] = plan
     return plan
 

@@ -2,40 +2,38 @@
 
 TPU-native replacement for ark-ec's group arithmetic (SURVEY.md §2.3): the
 entire RCB15 complete-addition formula (eprint 2015/1060, Alg 7/9 for
-a = 0) runs inside ONE Pallas kernel — 12 variable Montgomery multiplies
-on the VPU, 2 constant multiplies on the MXU (banded matrices), all
+a = 0) runs inside ONE Pallas kernel — variable Montgomery multiplies on
+the VPU, constant multiplies on the MXU (banded matrices), all
 temporaries in VMEM. Per point-add HBM traffic is exactly 2 points in,
-1 point out.
+1 point out. Generic over the coordinate field: G1 (Fq) and G2 (Fq2,
+Karatsuba over u²+1) share the same formula bodies via field adapters.
 
-Representation: each coordinate is a (R8, N) f32 base-256 digit-plane
-array in *wide* Montgomery form (R = 256^R8 with R8 = 2L+2; see
-pallas_field_v3: p/R <= 2^-17 makes every Montgomery product land in
-[0, 2.05p] regardless of lazy inputs — no conditional subtractions
-anywhere). A point is the tuple (X, Y, Z) of such arrays, projective,
-identity = (0 : 1 : 0). Completeness: the formulas are valid for ALL
-input pairs (doubling, identity, inverses) — branch-free SPMD.
+Representation: a coordinate is a (K·R8, N) f32 digit-plane array in
+*wide* Montgomery form (R = 256^R8, R8 = 2L+2; see pallas_field_v3:
+p/R <= 2^-17 makes every Montgomery product land in [~p, ~3.1p] with the
+folded +2p, so values stay strictly positive and no conditional
+subtraction ever runs). K = 1 for G1, 2 for G2 (c0 planes ‖ c1 planes).
+A point is (X, Y, Z) projective; identity = (0 : 1 : 0). The formulas are
+complete: valid for ALL input pairs (doubling, identity, inverses).
 
-Value/digit bound ledger for one add round (units of p; ε = p/R <= 2^-17,
-so every mul output is <= 2.04 + ε·(v_a·v_b) ≈ 2.05 =: μ):
+Digit-bound invariants (exactness: conv terms must stay < 2^24, i.e.
+multiply operands need |digits| <= 702 for R8 = 34):
 
-    inputs            v <= 2.05, digits [-1, 256]   (the add's own output)
-    coordinate sums   <= 2v,     digits [-2, 512]
-    t0,t1,t2          <= μ       [-1, 256]
-    t3,t4,Y3pre       <= μ+5     [-513, 513]   (sub constant K1 = 5p)
-    t0' = 3t0         <= 3μ      [-1, 258]     (one sweep)
-    t2' = b3·t2       <= μ       [-1, 256]     (MXU const mul)
-    Y3' = b3·Y3pre    <= μ       [-1, 256]     (sweep3 then MXU)
-    Z3pre = t1+t2'    <= 2μ      [-2, 512]
-    t1' = t1-t2'+3p   <= μ+3     [-257, 512]
-    X3/Y3/Z3          <= μ       [-1, 256]     (fused product PAIRS: both
-                      wide convs accumulate in t_ref — paired lazy digits
-                      < 2^23.8, exact — then ONE Montgomery reduce, whose
-                      final sweep3 is the output normalization)
+    mul outputs        [-1, 256]   (reduce ends in sweep3; G2 adds its own
+                                    component sweeps)
+    coordinate sums    [-2, 512]
+    sub outputs        [-513, 513]
+    triple (3x)        [-3, 258]   (one sweep)
 
-Every multiply input satisfies |digits| <= 513 (exactness needs <= 702
-for R8 = 34) and value <= 7.1p (R-overflow needs <= ~2^7·p). Fixpoint:
-output value bound 2.05p <= assumed input bound 2.05p. Ingestion from
-host or from narrow-R arrays must deliver digits <= 256 and value <= 2p.
+Value ledger (units of p, worst case = G2 where a Fq2 mul's c1 component
+is m2 - m0 - m1 + 7p <= 10.2): mul inputs reach ~43p in magnitude (sum of
+two outputs of the X3 = q1 - q0 + 11p shape), products <= ~2000p² — the
+ε = p/R <= 2^-17 term keeps every reduced value <= 3.07p and the 2·R8
+digit capacity (256^68 ~ 2^544 vs products <= 2^521) is never exceeded.
+Sub constants: K1 = 21 (t3/t4/y3pre), K2 = 4 (t1'), 10 (dbl t0-3b3z²),
+11 (G2 X3 = q1 - q0), G2-internal 4 (c0), 7 (c1). All folded +p are 2p
+so signed-digit Montgomery outputs (value(m) can be negative) remain
+strictly positive.
 """
 
 from __future__ import annotations
@@ -53,9 +51,200 @@ from .pallas_field_v3 import BF16, F32, PlaneFieldV3, _sweep, sweep3
 
 EXTRA_DIGITS = 2
 
+# COLS row indices (f32 constant columns shipped to the kernel)
+_CARRY, _P2, _K4, _K7, _K10, _K11, _K21 = range(7)
+_KROW = {4: _K4, 7: _K7, 10: _K10, 11: _K11, 21: _K21}
+
+
+class _G1Field:
+    """Fq plane ops bound to one kernel invocation (t_ref + consts)."""
+
+    K = 1
+
+    def __init__(self, pf, t_ref, mnp, mp, mb3, cols):
+        self.pf = pf
+        self.t_ref = t_ref
+        self.mnp = mnp
+        self.mp = mp
+        self.mb3 = mb3  # single (2R8, R8) band for b3
+        self.carry = cols[_CARRY, :][:, None]
+        self.p2 = cols[_P2, :][:, None]
+        self.cols = cols
+
+    def kp(self, k):
+        return self.cols[_KROW[k], :][:, None]
+
+    def mul(self, a, b):
+        return self.pf.mont_mul(
+            a, b, self.t_ref, self.mnp, self.mp, self.carry, plus_p=self.p2
+        )
+
+    def mul_pair(self, a, b, c, d, sign2=1.0):
+        return self.pf.mont_mul_pair(
+            a, b, c, d, self.t_ref, self.mnp, self.mp, self.carry,
+            plus_p=self.p2, scale2=sign2,
+        )
+
+    def mul_x2(self, a, b):
+        return self.pf.mont_mul_x2(
+            a, b, self.t_ref, self.mnp, self.mp, self.carry, plus_p=self.p2
+        )
+
+    def cmul_b3(self, x):
+        """x digits must be [-256, 256] (bf16-exact)."""
+        return self.pf.mul_const(
+            x, self.mb3, self.mnp, self.mp, self.carry, plus_p=self.p2
+        )
+
+    @staticmethod
+    def add(a, b):
+        return a + b
+
+    def sub(self, a, b, k):
+        return (a - b) + self.kp(k)
+
+    @staticmethod
+    def triple(x):
+        return _sweep(x + x + x)
+
+    @staticmethod
+    def norm(x):
+        return sweep3(x)
+
+
+class _G2Field:
+    """Fq2 = Fq[u]/(u²+1) over stacked (2·R8, T) planes (c0 ‖ c1)."""
+
+    K = 2
+
+    def __init__(self, pf, t_ref, mnp, mp, mb3, cols):
+        self.pf = pf
+        self.R8 = pf.R8
+        self.t_ref = t_ref
+        self.mnp = mnp
+        self.mp = mp
+        self.mb3 = mb3  # (M_b3c0, M_b3c1) band pair
+        self.carry = cols[_CARRY, :][:, None]
+        self.p2 = cols[_P2, :][:, None]
+        self.cols = cols
+
+    def kp(self, k):
+        return self.cols[_KROW[k], :][:, None]
+
+    def _split(self, x):
+        return x[: self.R8], x[self.R8 :]
+
+    @staticmethod
+    def _join(c0, c1):
+        return jnp.concatenate([c0, c1], axis=0)
+
+    def _base_mul(self, a, b):
+        return self.pf.mont_mul(
+            a, b, self.t_ref, self.mnp, self.mp, self.carry, plus_p=self.p2
+        )
+
+    def mul(self, a, b):
+        """Karatsuba: 3 base muls; components re-normalized to [-1, 256].
+
+        Karatsuba sums are swept first (operand digits can reach ~1026)."""
+        a0, a1 = self._split(a)
+        b0, b1 = self._split(b)
+        m0 = self._base_mul(a0, b0)
+        m1 = self._base_mul(a1, b1)
+        m2 = self._base_mul(sweep3(a0 + a1), sweep3(b0 + b1))
+        c0 = sweep3((m0 - m1) + self.kp(4))
+        c1 = sweep3((m2 - (m0 + m1)) + self.kp(7))
+        return self._join(c0, c1)
+
+    def mul_pair(self, a, b, c, d, sign2=1.0):
+        m1 = self.mul(a, b)
+        m2 = self.mul(c, d)
+        if sign2 == 1.0:
+            return sweep3(m1 + m2)
+        return sweep3((m1 - m2) + jnp.concatenate([self.kp(11)] * 2, 0)[: 2 * self.R8])
+
+    def mul_x2(self, a, b):
+        m = self.mul(a, b)
+        return sweep3(m + m)
+
+    def cmul_b3(self, x):
+        """(x0 + x1·u)·(k0 + k1·u): 4 MXU band matmuls, 2 reduces."""
+        mk0, mk1 = self.mb3
+        x0, x1 = self._split(x)
+        x0b = x0.astype(BF16)
+        x1b = x1.astype(BF16)
+        t0 = jnp.dot(mk0, x0b, preferred_element_type=F32) - jnp.dot(
+            mk1, x1b, preferred_element_type=F32
+        )
+        t1 = jnp.dot(mk0, x1b, preferred_element_type=F32) + jnp.dot(
+            mk1, x0b, preferred_element_type=F32
+        )
+        c0 = self.pf.reduce(t0, self.mnp, self.mp, self.carry, plus_p=self.p2)
+        c1 = self.pf.reduce(t1, self.mnp, self.mp, self.carry, plus_p=self.p2)
+        return self._join(c0, c1)
+
+    @staticmethod
+    def add(a, b):
+        return a + b
+
+    def sub(self, a, b, k):
+        kp = self.kp(k)
+        return (a - b) + jnp.concatenate([kp, kp], axis=0)[: 2 * self.R8]
+
+    @staticmethod
+    def triple(x):
+        return _sweep(x + x + x)
+
+    @staticmethod
+    def norm(x):
+        return sweep3(x)
+
+
+def _add_body(F, P, Q):
+    """RCB15 Alg 7 (a = 0) complete add over a field adapter."""
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    t0 = F.mul(X1, X2)
+    t1 = F.mul(Y1, Y2)
+    t2 = F.mul(Z1, Z2)
+    m4 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
+    m5 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
+    m6 = F.mul(F.add(X1, Z1), F.add(X2, Z2))
+    t3 = F.sub(m4, F.add(t0, t1), 21)
+    t4 = F.sub(m5, F.add(t1, t2), 21)
+    y3p = F.sub(m6, F.add(t0, t2), 21)
+    t0p = F.triple(t0)
+    t2p = F.cmul_b3(t2)
+    y3 = F.cmul_b3(F.norm(y3p))
+    z3p = F.add(t1, t2p)
+    t1p = F.sub(t1, t2p, 4)
+    X3 = F.mul_pair(t3, t1p, t4, y3, sign2=-1.0)
+    Y3 = F.mul_pair(t1p, z3p, y3, t0p)
+    Z3 = F.mul_pair(z3p, t4, t0p, t3)
+    return X3, Y3, Z3
+
+
+def _double_body(F, P):
+    """RCB15 Alg 9 (a = 0) complete double over a field adapter."""
+    X, Y, Z = P
+    t0 = F.mul(Y, Y)
+    t1 = F.mul(Y, Z)
+    t2 = F.mul(Z, Z)
+    xy = F.mul(X, Y)
+    e = F.add(t0, t0)
+    z3a = _sweep(F.add(F.add(e, e), F.add(e, e)))  # 8·Y², digits [-8, 263]
+    b3z2 = F.cmul_b3(t2)
+    y3a = F.add(t0, b3z2)
+    t2t = F.triple(b3z2)
+    t0n = F.sub(t0, t2t, 10)
+    X3 = F.mul_x2(t0n, xy)
+    Y3 = F.mul_pair(b3z2, z3a, t0n, y3a)
+    Z3 = F.mul(t1, z3a)
+    return X3, Y3, Z3
+
 
 class PlaneCurve:
-    """G1 plane-form curve ops (constants + in-kernel formula bodies)."""
+    """Per-curve constants for the fused kernels (G1 and G2)."""
 
     def __init__(self, curve: CurveParams):
         self.curve = curve
@@ -64,93 +253,39 @@ class PlaneCurve:
         p = curve.fq.modulus
         b3_mont = (3 * curve.b) * pf.r_eff % p
         self.M_B3 = pf.const_band(b3_mont)
-        # f32 constant columns, stacked (5, R8): carry scale, p, 3p, 5p, 7p
+        b2 = getattr(curve, "b2", None)
+        if b2 is not None:
+            self.M_B3_G2 = (
+                pf.const_band(3 * b2[0] % p * pf.r_eff % p),
+                pf.const_band(3 * b2[1] % p * pf.r_eff % p),
+            )
+        else:
+            self.M_B3_G2 = None
         self.COLS = np.concatenate(
             [
                 pf.CARRY_SCALE,
-                pf.P_COL,
-                pf.KP_COLS[3],
-                pf.KP_COLS[5],
+                pf.KP_COLS[2],
+                pf.KP_COLS[4],
                 pf.KP_COLS[7],
+                pf.KP_COLS[10],
+                pf.KP_COLS[11],
+                pf.KP_COLS[21],
             ],
             axis=1,
         ).T.astype(np.float32)
 
-    # -- in-kernel bodies (pure jnp; refs threaded for scratch) ----------
+    def field_ctx(self, group, t_ref, mnp, mp, mb3, cols):
+        cls = _G1Field if group == "g1" else _G2Field
+        return cls(self.pf, t_ref, mnp, mp, mb3, cols)
+
+    # convenience wrappers used by tests (operate in plain XLA, ref-free)
     def add_body(self, P, Q, t_ref, mnp, mp, mb3, cols):
-        """P + Q; P, Q = (X, Y, Z) triples of (R8, T) planes."""
-        pf = self.pf
-        carry = cols[0, :][:, None]
-        p1 = cols[1, :][:, None]
-        p3 = cols[2, :][:, None]
-        p5 = cols[3, :][:, None]
-
-        def mul(a, b):
-            return pf.mont_mul(a, b, t_ref, mnp, mp, carry, plus_p=p1)
-
-        def cmul_b3(x):
-            return pf.mul_const(x, mb3, mnp, mp, carry, plus_p=p1)
-
-        X1, Y1, Z1 = P
-        X2, Y2, Z2 = Q
-        t0 = mul(X1, X2)
-        t1 = mul(Y1, Y2)
-        t2 = mul(Z1, Z2)
-        m4 = mul(X1 + Y1, X2 + Y2)
-        m5 = mul(Y1 + Z1, Y2 + Z2)
-        m6 = mul(X1 + Z1, X2 + Z2)
-        t3 = (m4 - (t0 + t1)) + p5
-        t4 = (m5 - (t1 + t2)) + p5
-        y3p = (m6 - (t0 + t2)) + p5
-        t0p = _sweep(t0 + t0 + t0)  # 3·t0, one sweep: digits <= 258
-        t2p = cmul_b3(t2)
-        y3 = cmul_b3(sweep3(y3p))
-        z3p = t1 + t2p
-        t1p = (t1 - t2p) + p3
-        # fused product pairs: one Montgomery reduction per output coord
-        # (paired lazy digits < 2^23.8, exact; see mont_mul_pair)
-        X3 = pf.mont_mul_pair(
-            t3, t1p, t4, y3, t_ref, mnp, mp, carry, plus_p=p1, scale2=-1.0
-        )
-        Y3 = pf.mont_mul_pair(t1p, z3p, y3, t0p, t_ref, mnp, mp, carry, plus_p=p1)
-        Z3 = pf.mont_mul_pair(z3p, t4, t0p, t3, t_ref, mnp, mp, carry, plus_p=p1)
-        return X3, Y3, Z3
+        F = _G1Field(self.pf, t_ref, mnp, mp, mb3, cols)
+        return _add_body(F, P, Q)
 
     def double_body(self, P, t_ref, mnp, mp, mb3, cols):
-        """2·P, RCB15 Alg 9 (a = 0): 6M + 2S fused, same bound style.
-
-        Ledger: t0,t1,t2,xy <= μ; Z3a = 8t0 digits <= 2048 -> sweep ->
-        [-8, 263]; b3z2 <= μ; Y3a = t0+b3z2 <= 2μ [<=512]; t2t = 3·b3z2
-        sweep -> 258; t0n = t0-t2t+7p <= μ+7 [-257, 512]; products <= μ;
-        outputs: X3 = 2·q3 [<=512] sweep3; Y3 = q0+q2 sweep3; Z3 = q1.
-        """
-        pf = self.pf
-        carry = cols[0, :][:, None]
-        p1 = cols[1, :][:, None]
-        p7 = cols[4, :][:, None]
-
-        def mul(a, b):
-            return pf.mont_mul(a, b, t_ref, mnp, mp, carry, plus_p=p1)
-
-        def cmul_b3(x):
-            return pf.mul_const(x, mb3, mnp, mp, carry, plus_p=p1)
-
-        X, Y, Z = P
-        t0 = mul(Y, Y)
-        t1 = mul(Y, Z)
-        t2 = mul(Z, Z)
-        xy = mul(X, Y)
-        z3a = _sweep(((t0 + t0) + (t0 + t0)) + ((t0 + t0) + (t0 + t0)))
-        b3z2 = cmul_b3(t2)
-        y3a = t0 + b3z2
-        t2t = _sweep(b3z2 + b3z2 + b3z2)
-        t0n = (t0 - t2t) + p7  # value(t2t) <= 3μ ≈ 6.2p, so +7p keeps it nonneg
-        X3 = pf.mont_mul_x2(t0n, xy, t_ref, mnp, mp, carry, plus_p=p1)
-        Y3 = pf.mont_mul_pair(
-            b3z2, z3a, t0n, y3a, t_ref, mnp, mp, carry, plus_p=p1
-        )
-        Z3 = mul(t1, z3a)
-        return X3, Y3, Z3
+        F = _G1Field(self.pf, t_ref, mnp, mp, mb3, cols)
+        return _double_body(F, P)
 
 
 @functools.lru_cache(maxsize=None)
@@ -162,38 +297,54 @@ def _make_pointwise(
     pc: PlaneCurve,
     body_arity: int,
     tile: int,
-    interpret: bool,
+    interpret: bool | None,
     masked: bool = False,
+    group: str = "g1",
 ):
-    """Build a pallas_call over (R8, N) coordinate planes.
+    """Build a pallas_call over (K·R8, N) coordinate planes.
 
     body_arity = 2 -> add(P, Q); 1 -> double(P).
     masked (add only): extra (1, N) f32 mask input; out = mask ? P+Q : P.
+    interpret = None -> auto: interpret iff the default backend is CPU
+    (Mosaic cannot compile there; tests and host-only runs just work).
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     pf = pc.pf
     R8 = pc.R8
+    K = 1 if group == "g1" else 2
     mnp_c = jnp.asarray(pf.M_NP).astype(BF16)
     mp_c = jnp.asarray(pf.M_P).astype(BF16)
-    mb3_c = jnp.asarray(pc.M_B3).astype(BF16)
     cols_c = jnp.asarray(pc.COLS)
+    if group == "g1":
+        mb3_cs = [jnp.asarray(pc.M_B3).astype(BF16)]
+    else:
+        assert pc.M_B3_G2 is not None, "curve has no G2 twist constants"
+        mb3_cs = [jnp.asarray(m).astype(BF16) for m in pc.M_B3_G2]
+    n_mb3 = len(mb3_cs)
 
     n_coords = 3 * body_arity + (1 if masked else 0)
 
     def kernel(*refs):
-        mnp, mp, mb3, cols = (r[...] for r in refs[:4])
-        ins = [r[...] for r in refs[4 : 4 + n_coords]]
-        outs = refs[4 + n_coords : 4 + n_coords + 3]
+        mnp, mp = refs[0][...], refs[1][...]
+        mb3_v = [refs[2 + i][...] for i in range(n_mb3)]
+        cols = refs[2 + n_mb3][...]
+        base = 3 + n_mb3
+        ins = [r[...] for r in refs[base : base + n_coords]]
+        outs = refs[base + n_coords : base + n_coords + 3]
         t_ref = refs[-1]
+        mb3 = mb3_v[0] if group == "g1" else tuple(mb3_v)
+        F = pc.field_ctx(group, t_ref, mnp, mp, mb3, cols)
         if body_arity == 2:
             P, Q = tuple(ins[:3]), tuple(ins[3:6])
-            X3, Y3, Z3 = pc.add_body(P, Q, t_ref, mnp, mp, mb3, cols)
+            X3, Y3, Z3 = _add_body(F, P, Q)
             if masked:
                 m = ins[6]  # (1, T) in {0, 1}
                 X3 = m * X3 + (1.0 - m) * P[0]
                 Y3 = m * Y3 + (1.0 - m) * P[1]
                 Z3 = m * Z3 + (1.0 - m) * P[2]
         else:
-            X3, Y3, Z3 = pc.double_body(tuple(ins), t_ref, mnp, mp, mb3, cols)
+            X3, Y3, Z3 = _double_body(F, tuple(ins))
         outs[0][...] = X3
         outs[1][...] = Y3
         outs[2][...] = Z3
@@ -205,47 +356,57 @@ def _make_pointwise(
         const_specs = [
             pl.BlockSpec((R8, R8), lambda i: (0, 0)),
             pl.BlockSpec((2 * R8, R8), lambda i: (0, 0)),
-            pl.BlockSpec((2 * R8, R8), lambda i: (0, 0)),
-            pl.BlockSpec((5, R8), lambda i: (0, 0)),
         ]
-        data_specs = [pl.BlockSpec((R8, tile), lambda i: (0, i))] * (
-            3 * body_arity
-        )
+        const_specs += [
+            pl.BlockSpec((2 * R8, R8), lambda i: (0, 0)) for _ in range(n_mb3)
+        ]
+        const_specs.append(pl.BlockSpec((7, R8), lambda i: (0, 0)))
+        data_specs = [
+            pl.BlockSpec((K * R8, tile), lambda i: (0, i))
+        ] * (3 * body_arity)
         if masked:
             data_specs.append(pl.BlockSpec((1, tile), lambda i: (0, i)))
-        out_spec = pl.BlockSpec((R8, tile), lambda i: (0, i))
+        out_spec = pl.BlockSpec((K * R8, tile), lambda i: (0, i))
         return pl.pallas_call(
             kernel,
             out_shape=tuple(
-                jax.ShapeDtypeStruct((R8, n), F32) for _ in range(3)
+                jax.ShapeDtypeStruct((K * R8, n), F32) for _ in range(3)
             ),
             grid=(n // tile,),
             in_specs=const_specs + data_specs,
             out_specs=(out_spec,) * 3,
             scratch_shapes=[pltpu.VMEM((2 * R8, tile), F32)],
             interpret=interpret,
-        )(mnp_c, mp_c, mb3_c, cols_c, *coords)
+        )(mnp_c, mp_c, *mb3_cs, cols_c, *coords)
 
     return run
 
 
-def make_point_add(curve: CurveParams, tile: int = 256, interpret: bool = False):
-    """(X1,Y1,Z1,X2,Y2,Z2) (R8,N) planes -> (X3,Y3,Z3). Complete add."""
-    return _make_pointwise(get_plane_curve(curve), 2, tile, interpret)
+def make_point_add(
+    curve: CurveParams, tile: int = 256, interpret: bool | None = None, group: str = "g1"
+):
+    """(X1,Y1,Z1,X2,Y2,Z2) (K·R8,N) planes -> (X3,Y3,Z3). Complete add."""
+    return _make_pointwise(get_plane_curve(curve), 2, tile, interpret, group=group)
 
 
-def make_point_double(curve: CurveParams, tile: int = 256, interpret: bool = False):
-    """(X,Y,Z) (R8,N) planes -> (X3,Y3,Z3). Complete double."""
-    return _make_pointwise(get_plane_curve(curve), 1, tile, interpret)
+def make_point_double(
+    curve: CurveParams, tile: int = 256, interpret: bool | None = None, group: str = "g1"
+):
+    """(X,Y,Z) (K·R8,N) planes -> (X3,Y3,Z3). Complete double."""
+    return _make_pointwise(get_plane_curve(curve), 1, tile, interpret, group=group)
 
 
-def make_masked_add(curve: CurveParams, tile: int = 256, interpret: bool = False):
+def make_masked_add(
+    curve: CurveParams, tile: int = 256, interpret: bool | None = None, group: str = "g1"
+):
     """(P, Q, mask) -> mask ? P+Q : P. mask is (1, N) f32 in {0, 1}.
 
     The predicated accumulate op of the MSM bucket scan — one kernel,
     no extra XLA select pass over the accumulators.
     """
-    return _make_pointwise(get_plane_curve(curve), 2, tile, interpret, masked=True)
+    return _make_pointwise(
+        get_plane_curve(curve), 2, tile, interpret, masked=True, group=group
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -253,49 +414,167 @@ def make_masked_add(curve: CurveParams, tile: int = 256, interpret: bool = False
 # ---------------------------------------------------------------------------
 
 
-def pack_rows_u8_host(pc: PlaneCurve, points) -> np.ndarray:
-    """Host affine (x, y) int pairs (None = identity) -> (N, 2R8+1) uint8
-    row table (X digits ‖ Y digits ‖ z-flag), wide-Mont canonical.
+def _coord_vals(pt, idx, K):
+    """Affine coordinate -> list of K base-field ints (Fq or Fq2)."""
+    if K == 1:
+        return [pt[idx]]
+    return list(pt[idx])
 
+
+def pack_rows_u8_host(pc: PlaneCurve, points, group: str = "g1") -> np.ndarray:
+    """Host affine points (None = identity) -> (N, 2·K·R8+1) uint8 row
+    table (X digits ‖ Y digits ‖ z-flag), wide-Mont canonical.
+
+    G1 points are (x, y) ints; G2 points are ((x0,x1), (y0,y1)).
     Row-major u8 is the MSM gather layout (see ops/msm_plane.py).
     """
     pf = pc.pf
-    xs = [0 if pt is None else pt[0] for pt in points]
-    ys = [1 if pt is None else pt[1] for pt in points]
-    flags = [0 if pt is None else 1 for pt in points]
-    X = pf.pack_np(xs).T.astype(np.uint8)  # (N, R8)
-    Y = pf.pack_np(ys).T.astype(np.uint8)
-    F = np.asarray(flags, np.uint8)[:, None]
-    return np.concatenate([X, Y, F], axis=1)
+    K = 1 if group == "g1" else 2
+    cols = []
+    for idx, default in ((0, 0), (1, 1)):
+        for comp in range(K):
+            vals = [
+                (default if comp == 0 else 0)
+                if pt is None
+                else _coord_vals(pt, idx, K)[comp]
+                for pt in points
+            ]
+            cols.append(pf.pack_np(vals).T.astype(np.uint8))  # (N, R8)
+    flags = np.asarray([0 if pt is None else 1 for pt in points], np.uint8)
+    return np.concatenate(cols + [flags[:, None]], axis=1)
 
 
-def pack_points_host(pc: PlaneCurve, points) -> tuple:
-    """Host affine (x, y) int pairs (None = identity) -> (X, Y, Z) planes."""
-    xs = [0 if pt is None else pt[0] for pt in points]
-    ys = [1 if pt is None else pt[1] for pt in points]
-    zs = [0 if pt is None else 1 for pt in points]
+def pack_points_host(pc: PlaneCurve, points, group: str = "g1") -> tuple:
+    """Host affine points (None = identity) -> (X, Y, Z) (K·R8, N) planes."""
     pf = pc.pf
-    return (
-        jnp.asarray(pf.pack_np(xs)),
-        jnp.asarray(pf.pack_np(ys)),
-        jnp.asarray(pf.pack_np(zs)),
+    K = 1 if group == "g1" else 2
+
+    def plane(idx, default):
+        comps = []
+        for comp in range(K):
+            vals = [
+                (default if comp == 0 else 0)
+                if pt is None
+                else _coord_vals(pt, idx, K)[comp]
+                for pt in points
+            ]
+            comps.append(pf.pack_np(vals))
+        return jnp.asarray(np.concatenate(comps, axis=0))
+
+    X = plane(0, 0)
+    Y = plane(1, 1)
+    zf = [0 if pt is None else 1 for pt in points]
+    Zc = pf.pack_np(zf)
+    Z = jnp.asarray(
+        np.concatenate([Zc] + [np.zeros_like(Zc)] * (K - 1), axis=0)
     )
+    return X, Y, Z
 
 
-def unpack_points_host(pc: PlaneCurve, X, Y, Z):
-    """(X, Y, Z) lazy planes -> host affine int pairs (None = identity)."""
+def unpack_points_host(pc: PlaneCurve, X, Y, Z, group: str = "g1"):
+    """(X, Y, Z) lazy planes -> host affine points (None = identity)."""
     from ..fields.host import Fp
 
     pf = pc.pf
+    R8 = pc.R8
     f = Fp(pc.curve.fq)
-    xs = pf.unpack_np(X)
-    ys = pf.unpack_np(Y)
-    zs = pf.unpack_np(Z)
+    if group == "g1":
+        xs = pf.unpack_np(X)
+        ys = pf.unpack_np(Y)
+        zs = pf.unpack_np(Z)
+        out = []
+        for x, y, z in zip(xs, ys, zs):
+            if z == 0:
+                out.append(None)
+            else:
+                zi = f.inv(z)
+                out.append((x * zi % f.p, y * zi % f.p))
+        return out
+    from ..fields.towers import Fq2 as HostFq2
+
+    fq2 = HostFq2(f.p)
+    comps = {}
+    for name, arr in (("x", X), ("y", Y), ("z", Z)):
+        comps[name] = (
+            pf.unpack_np(np.asarray(arr)[:R8]),
+            pf.unpack_np(np.asarray(arr)[R8:]),
+        )
     out = []
-    for x, y, z in zip(xs, ys, zs):
-        if z == 0:
+    for i in range(len(comps["x"][0])):
+        x = (comps["x"][0][i], comps["x"][1][i])
+        y = (comps["y"][0][i], comps["y"][1][i])
+        z = (comps["z"][0][i], comps["z"][1][i])
+        if fq2.is_zero(z):
             out.append(None)
         else:
-            zi = f.inv(z)
-            out.append((x * zi % f.p, y * zi % f.p))
+            zi = fq2.inv(z)
+            out.append((fq2.mul(x, zi), fq2.mul(y, zi)))
     return out
+
+
+def batch_to_affine_host(curve: CurveParams, xs, ys, zs, group: str = "g1"):
+    """Projective host ints -> affine pairs via Montgomery batch inversion.
+
+    One field inversion + 3N multiplications instead of N inversions —
+    the setup-time path that turns fixed-base MSM outputs into the u8
+    point tables (N can be 2^20+; per-point pow() would dominate setup).
+    """
+    from ..fields.host import Fp
+    from ..fields.towers import Fq2 as HostFq2
+
+    f = Fp(curve.fq)
+    if group == "g1":
+        F_mul = lambda a, b: a * b % f.p
+        F_inv = f.inv
+        F_is_zero = lambda a: a == 0
+        F_one = 1
+    else:
+        fq2 = HostFq2(f.p)
+        F_mul = fq2.mul
+        F_inv = fq2.inv
+        F_is_zero = fq2.is_zero
+        F_one = fq2.one
+
+    n = len(zs)
+    prefix = [F_one] * (n + 1)
+    for i, z in enumerate(zs):
+        prefix[i + 1] = prefix[i] if F_is_zero(z) else F_mul(prefix[i], z)
+    inv_all = F_inv(prefix[n])
+    out = [None] * n
+    for i in range(n - 1, -1, -1):
+        z = zs[i]
+        if F_is_zero(z):
+            continue
+        zi = F_mul(inv_all, prefix[i])
+        inv_all = F_mul(inv_all, z)
+        out[i] = (F_mul(xs[i], zi), F_mul(ys[i], zi))
+    return out
+
+
+def table_from_query_u32(
+    pc: PlaneCurve, old_ops, pts_u32, group: str = "g1"
+) -> np.ndarray:
+    """(N, 3, K) u32 projective Montgomery points (old narrow-R device
+    layout, the fixed-base setup output) -> (N, 2·K·R8+1) uint8 MSM table.
+
+    Host path: leave old Montgomery form, batch-invert Z, repack in wide
+    Montgomery canonical digits.
+    """
+    arr = np.asarray(pts_u32)
+    df = old_ops.df
+    n = arr.shape[0]
+    K = 1 if group == "g1" else 2
+
+    def coord_ints(idx):
+        if K == 1:
+            return df.to_host_ints(arr[:, idx])
+        L = arr.shape[-1] // 2
+        c0 = df.to_host_ints(arr[:, idx, :L])
+        c1 = df.to_host_ints(arr[:, idx, L:])
+        return list(zip(c0, c1))
+
+    xs = coord_ints(0)
+    ys = coord_ints(1)
+    zs = coord_ints(2)
+    affs = batch_to_affine_host(pc.curve, xs, ys, zs, group)
+    return pack_rows_u8_host(pc, affs, group)

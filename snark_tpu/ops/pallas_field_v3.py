@@ -126,7 +126,18 @@ class PlaneFieldV3:
         self.P_COL = digits_col(p, R8)
         self.P2_COL = digits_col(2 * p, R8)
         self.P4_COL = digits_col(4 * p, R8)
-        self.KP_COLS = {k: digits_col(k * p, R8) for k in range(1, 17)}
+        class _KpCols(dict):
+            """k -> digit column of k·p, computed on demand (any k with
+            k·p < 256^R8 is valid; digits are always <= 255)."""
+
+            def __missing__(self, k):
+                col = digits_col(k * p, R8)
+                self[k] = col
+                return col
+
+        self.KP_COLS = _KpCols()
+        for k in range(1, 33):
+            _ = self.KP_COLS[k]
         self.RMP_COL = digits_col(self.r_eff - p, R8)
         self.ONE_MONT_COL = digits_col(self.one_mont_val, R8)
         self.R2_COL = digits_col(self.r2_eff, R8)
@@ -227,14 +238,29 @@ class PlaneFieldV3:
     def pack_np(self, vals, mont: bool = True) -> np.ndarray:
         """Python ints -> (R8, N) f32 digit planes (Mont form by default)."""
         p = self.params.modulus
-        out = np.zeros((self.R8, len(vals)), dtype=np.float32)
+        r = self.r_eff
+        R8 = self.R8
+        buf = bytearray(R8 * len(vals))
         for j, v in enumerate(vals):
             v = v % p
             if mont:
-                v = v * self.r_eff % p
-            for i in range(self.R8):
-                out[i, j] = (v >> (8 * i)) & 0xFF
-        return out
+                v = v * r % p
+            buf[j * R8 : (j + 1) * R8] = v.to_bytes(R8, "little")
+        arr = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(len(vals), R8)
+        return arr.T.astype(np.float32)
+
+    def pack_rows_u8_np(self, vals, mont: bool = True) -> np.ndarray:
+        """Python ints -> (N, R8) uint8 rows (canonical digits)."""
+        p = self.params.modulus
+        r = self.r_eff
+        R8 = self.R8
+        buf = bytearray(R8 * len(vals))
+        for j, v in enumerate(vals):
+            v = v % p
+            if mont:
+                v = v * r % p
+            buf[j * R8 : (j + 1) * R8] = v.to_bytes(R8, "little")
+        return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(len(vals), R8)
 
     def unpack_np(self, planes, mont: bool = True) -> list[int]:
         """(R8, N) lazy/canonical digit planes -> python ints (mod p)."""
