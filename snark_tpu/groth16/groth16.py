@@ -39,7 +39,10 @@ from ..ops.msm import (
     scalars_to_digits,
 )
 from ..ops.msm_plane import get_plane_msm, pick_window_plane
+from ..ops.ntt_plane import _bit_reverse_indices, get_plane_ntt
 from ..ops.pallas_curve import get_plane_curve, table_from_query_u32
+from ..ops.pallas_field_v3 import F32
+from ..ops.pallas_field import digits8_from_limbs
 from ..relations import (
     ConstraintSystem,
     ConstraintSystemRef,
@@ -352,7 +355,14 @@ class Groth16:
         b_g2_tbl = jnp.asarray(
             table_from_query_u32(pc, self.g2_ops, b_g2_query, "g2")
         )
-        h_tbl = jnp.asarray(table_from_query_u32(pc, self.g1_ops, h_query))
+        # h_tbl row k holds the point for coefficient bitrev(k) (the plane
+        # NTT's h pipeline emits h in bit-reversed order; coeff n-1 is
+        # structurally zero and has no query point -> identity row)
+        rev = _bit_reverse_indices(n)
+        h_perm = [int(rev[k]) if rev[k] < n - 1 else -1 for k in range(n)]
+        h_tbl = jnp.asarray(
+            table_from_query_u32(pc, self.g1_ops, h_query, perm=h_perm)
+        )
         l_tbl = jnp.asarray(table_from_query_u32(pc, self.g1_ops, l_query))
 
         pk = ProvingKey(
@@ -431,17 +441,35 @@ class Groth16:
         b_evals = jnp.concatenate([b_rows, zeros_inst, zeros_pad], axis=0)
         c_evals = jnp.concatenate([c_rows, zeros_inst, zeros_pad], axis=0)
 
-        h_mont = plan.h_from_evals(a_evals, b_evals, c_evals)  # (n, K)
-        h_std = df.from_mont(h_mont[: n - 1])
-
         # MSMs: fused-Pallas plane MSM, window sums on device + host Horner
         # combine (the sequential doubling tail is latency-bound batch-1
         # work — host is faster). z digits extracted on host; h digits on
         # device (stay on-chip).
+        import os
+
         nbits = self.curve.fr.num_bits
         z_limbs = fr.to_limbs_array(z)
         m = len(z)
-        if m >= 2048:
+        plane_min = int(os.environ.get("SNARK_TPU_PLANE_MSM_MIN", "2048"))
+        if m >= plane_min:
+            # h via the fused-Pallas plane NTT (wide-Mont digit planes,
+            # bit-reversal-free DIF/DIT pipeline; ops/ntt_plane.py)
+            pn = get_plane_ntt(self.curve.fr, n)
+
+            def to_planes(evals_u32):
+                d = digits8_from_limbs(evals_u32, df.L).astype(F32)
+                padrows = pn.pf.R8 - d.shape[0]
+                d = jnp.pad(d, ((0, padrows), (0, 0)))
+                return pn.k.remont(d)[0]
+
+            h_bitrev = pn.h_from_evals(
+                to_planes(a_evals), to_planes(b_evals), to_planes(c_evals)
+            )
+            h_std_planes = pn.to_std_canonical(h_bitrev)  # (R8, n) canonical
+        else:
+            h_mont = plan.h_from_evals(a_evals, b_evals, c_evals)  # (n, K)
+            h_std = df.from_mont(h_mont[: n - 1])
+        if m >= plane_min:
             # fused-Pallas plane MSM (the production path; c >= 8 so the
             # W·2^c bucket lanes amortize)
             c_z = pick_window_plane(m)
@@ -452,8 +480,9 @@ class Groth16:
             B_sum = plan_g2.msm_host(pk.b_g2_tbl, z_digits, self.hg2)
             B1_sum = plan_g1.msm_host(pk.b_g1_tbl, z_digits, self.hg1)
             L_sum = plan_g1.msm_host(pk.l_tbl, z_digits[ni:], self.hg1)
-            c_h = 8  # device digit extraction needs c | 16
-            h_digits = df.window_digits(h_std, c_h, nbits)
+            # c = 8 windows are literally the canonical digit planes
+            c_h = 8
+            h_digits = h_std_planes[:32].T.astype(jnp.uint32)  # (n, 32)
             plan_h = get_plane_msm(self.curve, c_h, nbits)
             H_sum = plan_h.msm_host(pk.h_tbl, h_digits, self.hg1)
         else:

@@ -161,6 +161,23 @@ class _Kernels:
             hadamard_kernel, 3, 1, extra_consts=[z_band.astype(jnp.bfloat16)]
         )
 
+        # --- re-Montgomery: std digit planes of v = x·R_old -> x·R' planes
+        # (ingestion from the legacy narrow-R device field: one MXU pass)
+        c_remont = pf.r_eff * pf.r_eff % p * pow(params.r, -1, p) % p
+
+        def remont_kernel(*refs):
+            mnp, mp, extras, t_ref, carry, p2, _k4, _k84, mul = ctx(refs, 1)
+            (mc,) = extras
+            x = refs[4][...]
+            refs[5][...] = pf.mul_const(x, mc, mnp, mp, carry, plus_p=p2)
+
+        self.remont = build(
+            remont_kernel,
+            1,
+            1,
+            extra_consts=[jnp.asarray(pf.const_band(c_remont)).astype(BF16)],
+        )
+
         # --- to-standard canonical: x (wide mont) -> canonical std digits
         def tostd_kernel2(*refs):
             mnp, mp, extras, t_ref, carry, p2, _k4, _k84, mul = ctx(refs, 2)

@@ -552,13 +552,16 @@ def batch_to_affine_host(curve: CurveParams, xs, ys, zs, group: str = "g1"):
 
 
 def table_from_query_u32(
-    pc: PlaneCurve, old_ops, pts_u32, group: str = "g1"
+    pc: PlaneCurve, old_ops, pts_u32, group: str = "g1", perm=None
 ) -> np.ndarray:
     """(N, 3, K) u32 projective Montgomery points (old narrow-R device
-    layout, the fixed-base setup output) -> (N, 2·K·R8+1) uint8 MSM table.
+    layout, the fixed-base setup output) -> (M, 2·K·R8+1) uint8 MSM table.
 
     Host path: leave old Montgomery form, batch-invert Z, repack in wide
-    Montgomery canonical digits.
+    Montgomery canonical digits. `perm` (optional, len M) reorders rows:
+    table row k = point[perm[k]], with perm[k] == -1 -> identity row
+    (used to store h_query in bit-reversed coefficient order, matching the
+    plane NTT's permutation-free h pipeline).
     """
     arr = np.asarray(pts_u32)
     df = old_ops.df
@@ -577,4 +580,6 @@ def table_from_query_u32(
     ys = coord_ints(1)
     zs = coord_ints(2)
     affs = batch_to_affine_host(pc.curve, xs, ys, zs, group)
+    if perm is not None:
+        affs = [affs[j] if j >= 0 else None for j in perm]
     return pack_rows_u8_host(pc, affs, group)
