@@ -5,9 +5,10 @@ config. Config sizes / device requirements:
 
   1: 2^10 a*b=c chain, CPU synthesize + sat-check          (always runs)
   2: 2^16-constraint Groth16-style prove, 1 chip           (CONFIG2=1)
-  3: 2^20 BLS12-381, 1 host                                 (round 2)
-  4: 2^24 multi-host                                        (round 2)
-  5: 256 x 2^18 batched                                     (round 2)
+  3: 2^20 BLS12-381 Groth16 prove, 1 host                  (CONFIG3=1; CONFIG3_LOG_N to shrink)
+  4: 2^24 distributed prove pieces (sharded MSM + six-step (CONFIG4=1; CONFIG4_LOG_N; runs on
+     NTT over the mesh), scaling efficiency 1 vs N devices  whatever mesh jax.devices() offers)
+  5: 256 x 2^18 batched proving throughput                 (CONFIG5=1; CONFIG5_B / CONFIG5_LOG_N)
 
 Usage: python scripts/run_configs.py            # config 1
        CONFIG2=1 python scripts/run_configs.py  # + config 2 on the chip
@@ -82,7 +83,190 @@ def config2():
     assert ok
 
 
+def config3():
+    """BLS12-381 Groth16 prove (BASELINE config 3). Same prover code as
+    config 2 — every kernel (plane field, RCB15 curve, MSM, NTT) is generic
+    over CurveParams; BLS12-381 widens the digit planes (Fq 381 bits) and
+    the scalar windows (Fr 255 bits). CONFIG3_LOG_N shrinks the 2^20
+    default for smoke runs; CONFIG3_PK=path caches the proving key."""
+    from snark_tpu.fields import BLS12_381
+    from snark_tpu.groth16 import Groth16, ProvingKey
+    from snark_tpu.models import MulChainCircuit
+
+    log_n = int(os.environ.get("CONFIG3_LOG_N", "20"))
+    n = (1 << log_n) - 64
+    g16 = Groth16(BLS12_381)
+    circuit = MulChainCircuit(seed=7, n=n, batch=True)
+    pk_path = os.environ.get("CONFIG3_PK", "")
+    t0 = time.time()
+    if pk_path and os.path.exists(pk_path):
+        pk = ProvingKey.load(pk_path)
+        vk = pk.vk
+    else:
+        pk, vk = g16.circuit_specific_setup(circuit, random.Random(0))
+        if pk_path:
+            pk.save(pk_path)
+    t_setup = time.time() - t0
+    t0 = time.time()
+    proof = g16.prove(pk, circuit, rng=random.Random(1))
+    t_prove = time.time() - t0
+    t0 = time.time()
+    ok = g16.verify(vk, [7], proof)
+    t_verify = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "config": 3,
+                "desc": "BLS12-381 Groth16 prove (1 host)",
+                "constraints": n,
+                "domain": pk.domain_size,
+                "verified": ok,
+                "setup_s": round(t_setup, 2),
+                "prove_s": round(t_prove, 2),
+                "verify_s": round(t_verify, 2),
+            }
+        )
+    )
+    assert ok
+
+
+def config4():
+    """Distributed prove pieces over the device mesh (BASELINE config 4):
+    the partitioned MSM (points/digits sharded, all_gather window combine)
+    and the six-step NTT (all_to_all stage transposes), timed on a 1-device
+    mesh vs the full mesh. Scaling efficiency = t1 / (N * tN). On this
+    image the mesh is whatever jax.devices() offers (8 virtual CPU devices
+    or 1 real chip); the code path is the real multi-host one."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from snark_tpu.fields import BLS12_381, BN254, BN254_FR, Fp
+    from snark_tpu.groth16 import Groth16
+    from snark_tpu.ops.msm import scalars_to_digits, pick_window
+    from snark_tpu.parallel import DistNttPlan, make_mesh
+    from snark_tpu.parallel.dist_msm import sharded_msm
+
+    log_n = int(os.environ.get("CONFIG4_LOG_N", "12"))
+    n = 1 << log_n
+    ndev = len(jax.devices())
+    g16 = Groth16(BN254)
+    fr = Fp(BN254_FR)
+    rng = random.Random(3)
+    scalars = [fr.rand(rng) for _ in range(n)]
+    c = pick_window(max(n // ndev, 2))
+    digits = np.asarray(scalars_to_digits(fr.to_limbs_array(scalars), c,
+                                          BN254.fr.num_bits))
+    pts = jnp.broadcast_to(
+        g16.g1_ops.pack_affine_host([g16.hg1.generator])[0],
+        (n, 3, g16.g1_ops.df.L),
+    )
+
+    def time_msm(mesh_n):
+        mesh = make_mesh((mesh_n,), ("tp",))
+        total = sharded_msm(g16.g1_ops, mesh, "tp", pts, digits, c=c)
+        jax.block_until_ready(total)  # compile + warm
+        t0 = time.time()
+        for _ in range(3):
+            jax.block_until_ready(
+                sharded_msm(g16.g1_ops, mesh, "tp", pts, digits, c=c)
+            )
+        return (time.time() - t0) / 3
+
+    t1 = time_msm(1)
+    tn = time_msm(ndev) if ndev > 1 else t1
+    eff_msm = t1 / (ndev * tn)
+
+    # six-step NTT over the mesh
+    n1 = max(ndev, 2)
+    n2 = n // n1
+    coeffs = [fr.rand(rng) for _ in range(n1 * n2)]
+
+    def time_ntt(mesh_n):
+        mesh = make_mesh((mesh_n,), ("sp",))
+        plan = DistNttPlan(BN254_FR, n1, n2, mesh, "sp")
+        x = plan.df.array(coeffs)
+        jax.block_until_ready(plan.fft(x))
+        t0 = time.time()
+        for _ in range(3):
+            jax.block_until_ready(plan.fft(x))
+        return (time.time() - t0) / 3
+
+    s1 = time_ntt(1)
+    sn = time_ntt(ndev) if ndev > 1 else s1
+    eff_ntt = s1 / (ndev * sn)
+    print(
+        json.dumps(
+            {
+                "config": 4,
+                "desc": "distributed MSM + six-step NTT over mesh",
+                "n": n,
+                "devices": ndev,
+                "backend": jax.default_backend(),
+                "msm_1dev_s": round(t1, 4),
+                "msm_ndev_s": round(tn, 4),
+                "msm_scaling_eff": round(eff_msm, 3),
+                "ntt_1dev_s": round(s1, 4),
+                "ntt_ndev_s": round(sn, 4),
+                "ntt_scaling_eff": round(eff_ntt, 3),
+            }
+        )
+    )
+
+
+def config5():
+    """Batched proving throughput (BASELINE config 5): B proofs of one
+    2^LOG_N-constraint circuit shape, vmapped through the device prover
+    core and (on a pod) sharded over the dp mesh axis. Defaults are sized
+    for this image; on a pod slice set CONFIG5_B=256 CONFIG5_LOG_N=18."""
+    import jax
+
+    from snark_tpu.fields import BN254
+    from snark_tpu.groth16 import Groth16
+    from snark_tpu.models import MulChainCircuit
+    from snark_tpu.parallel import BatchProver, make_mesh
+
+    B = int(os.environ.get("CONFIG5_B", "8"))
+    log_n = int(os.environ.get("CONFIG5_LOG_N", "8"))
+    n = (1 << log_n) - 8
+    ndev = len(jax.devices())
+    mesh = make_mesh((ndev,), ("dp",)) if ndev > 1 and B % ndev == 0 else None
+    g16 = Groth16(BN254)
+    circuits = [MulChainCircuit(seed=s, n=n, batch=True) for s in range(B)]
+    pk, vk = g16.circuit_specific_setup(circuits[0], random.Random(0))
+    bp = BatchProver(g16, pk, mesh=mesh, axis="dp")
+    # warm (compile)
+    bp.prove_batch(circuits[: max(ndev, 1)], rng=random.Random(9))
+    t0 = time.time()
+    proofs = bp.prove_batch(circuits, rng=random.Random(1))
+    dt = time.time() - t0
+    ok = all(
+        g16.verify(vk, [s], pf) for s, pf in list(enumerate(proofs))[:4]
+    )
+    print(
+        json.dumps(
+            {
+                "config": 5,
+                "desc": "batched proving throughput (dp over mesh)",
+                "batch": B,
+                "constraints": n,
+                "devices": ndev,
+                "verified_sample": ok,
+                "wall_s": round(dt, 2),
+                "proofs_per_s": round(B / dt, 3),
+            }
+        )
+    )
+    assert ok
+
+
 if __name__ == "__main__":
     config1()
     if os.environ.get("CONFIG2") == "1":
         config2()
+    if os.environ.get("CONFIG3") == "1":
+        config3()
+    if os.environ.get("CONFIG4") == "1":
+        config4()
+    if os.environ.get("CONFIG5") == "1":
+        config5()
