@@ -43,16 +43,21 @@ def main():
     from snark_tpu.fields import BN254
     from snark_tpu.fields.host import Fp
     from snark_tpu.ops.curve_host import host_g1
-    from snark_tpu.ops.msm import scalars_to_digits
+    from snark_tpu.ops.msm import scalars_to_digits, scalars_to_digits_signed
     from snark_tpu.ops.msm_plane import get_plane_msm
     from snark_tpu.ops.pallas_curve import (
         get_plane_curve,
         pack_rows_u8_host,
+        pack_rows_u8_signed_host,
         unpack_points_host,
     )
 
     log_n = int(os.environ.get("BENCH_LOG_N", "20"))
-    c = int(os.environ.get("BENCH_WINDOW", "12"))
+    signed = os.environ.get("BENCH_SIGNED", "1") == "1"
+    # signed (balanced) digits buy one extra window bit at the same bucket
+    # count: c=13 signed has the bucket space of c=12 unsigned but 20
+    # windows instead of 22
+    c = int(os.environ.get("BENCH_WINDOW", "13" if signed else "12"))
     n = 1 << log_n
     curve = BN254
     pc = get_plane_curve(curve)
@@ -64,17 +69,31 @@ def main():
     # distribution does not affect the group-op cost; it enables an exact
     # host correctness check without N host scalar-muls)
     pool = [hc.scalar_mul(hc.generator, k + 1) for k in range(64)]
-    table = jnp.asarray(np.tile(pack_rows_u8_host(pc, pool), (n // 64, 1)))
+    if signed:
+        # signed layout: rows [0, N) = points, [N, 2N) = negations
+        rows64 = pack_rows_u8_host(pc, pool)
+        from snark_tpu.ops.pallas_curve import negate_points_host
+
+        neg64 = pack_rows_u8_host(pc, negate_points_host(curve, pool))
+        table = jnp.asarray(
+            np.concatenate(
+                [np.tile(rows64, (n // 64, 1)), np.tile(neg64, (n // 64, 1))],
+                axis=0,
+            )
+        )
+    else:
+        table = jnp.asarray(np.tile(pack_rows_u8_host(pc, pool), (n // 64, 1)))
 
     scalars = [rng.randrange(0, curve.fr.modulus) for _ in range(n)]
     nbits = curve.fr.num_bits
     # device-resident digits: in the prover pipeline digit extraction is a
     # device op (ops/msm.digits_from_limbs_device); re-uploading 92 MB per
     # iteration through the tunnel would otherwise dominate the timing
-    digits = jnp.asarray(scalars_to_digits(fr.to_limbs_array(scalars), c, nbits))
+    to_digits = scalars_to_digits_signed if signed else scalars_to_digits
+    digits = jnp.asarray(to_digits(fr.to_limbs_array(scalars), c, nbits))
     W = digits.shape[1]
 
-    plan = get_plane_msm(curve, c)
+    plan = get_plane_msm(curve, c, signed=signed)
 
     # warmup / compile
     X, Y, Z = plan.msm(table, digits)
@@ -96,10 +115,11 @@ def main():
     ok = got == want
 
     max_r = plan.max_r
+    nb = 1 << plan.cb
     total_adds = (
         W * n  # bucket scan
-        + 2 * c * W * (1 << c)  # suffix + total scans
-        + max_r * W * (1 << c)  # replica collapse
+        + 2 * plan.cb * W * nb  # suffix + total scans
+        + max_r * W * nb  # replica collapse
         + W * (c + 1)  # Horner combine
     )
     adds_per_s = total_adds / dt
@@ -116,6 +136,7 @@ def main():
                     "num_windows": W,
                     "msm_wall_s": round(dt, 4),
                     "curve": "bn254_g1",
+                    "signed_digits": signed,
                     "correct": bool(ok),
                     "backend": jax.default_backend(),
                     "pipeline": "pallas_plane_msm",

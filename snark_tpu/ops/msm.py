@@ -69,6 +69,35 @@ def scalars_to_digits(scalars: np.ndarray, c: int, num_bits: int) -> np.ndarray:
     return digits
 
 
+def scalars_to_digits_signed(
+    scalars: np.ndarray, c: int, num_bits: int
+) -> np.ndarray:
+    """(N, L) uint16-limb scalars -> (N, W) int32 balanced window digits.
+
+    Balanced (signed) Pippenger decomposition: every window except the last
+    is balanced into (-2^(c-1), 2^(c-1)] by borrowing from the next window,
+    so |digit| <= 2^(c-1) and the bucket space halves vs unsigned digits
+    (ark-ec's VariableBaseMSM uses the same trick). The last window absorbs
+    the final carry and stays non-negative; if the top unsigned window
+    already spans the full c bits, an extra carry window is appended (its
+    digit is 0/1). Zero digits stay zero.
+    """
+    d = np.asarray(scalars_to_digits(scalars, c, num_bits), dtype=np.int64)
+    n, w_u = d.shape
+    b_top = num_bits - (w_u - 1) * c
+    if b_top >= c:
+        d = np.concatenate([d, np.zeros((n, 1), np.int64)], axis=1)
+    W = d.shape[1]
+    half = 1 << (c - 1)
+    carry = np.zeros(n, np.int64)
+    for w in range(W - 1):
+        v = d[:, w] + carry
+        carry = (v > half).astype(np.int64)
+        d[:, w] = v - (carry << c)
+    d[:, W - 1] += carry
+    return d.astype(np.int32)
+
+
 def digits_from_limbs_device(limbs: jnp.ndarray, c: int, num_bits: int) -> jnp.ndarray:
     """Device-side window-digit extraction for c dividing 16.
 

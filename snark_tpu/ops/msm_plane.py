@@ -58,6 +58,7 @@ class PlaneMsm:
         tile: int = 256,
         interpret: bool | None = None,
         group: str = "g1",
+        signed: bool = False,
     ):
         self.curve = curve
         self.pc = get_plane_curve(curve)
@@ -66,15 +67,32 @@ class PlaneMsm:
         self.K = 1 if group == "g1" else 2
         self.num_bits = num_bits or curve.fr.num_bits
         self.tile = tile
+        self.signed = signed
         self.madd = make_masked_add(curve, tile, interpret, group=group)
         self.add = make_point_add(curve, tile, interpret, group=group)
         self.dbl = make_point_double(curve, tile, interpret, group=group)
 
-        nb = 1 << c
-        W = -(-self.num_bits // c)
+        # signed (balanced) digits: bucket index = |digit| - 1, so only
+        # 2^(c-1) bucket slots per window (cb bucket bits); negative digits
+        # gather from the negated half of a 2N-row point table. Weighting
+        # shifts from b to b+1, which the double-suffix-scan absorbs by
+        # keeping S_0 in the second scan (see _window_sums_impl).
+        cb = self.cb = c - 1 if signed else c
+        nb = 1 << cb
+        if signed:
+            w_u = -(-self.num_bits // c)
+            b_top = self.num_bits - (w_u - 1) * c
+            if b_top >= c:
+                W = w_u + 1
+                bits_w = [cb] * w_u + [0]
+            else:
+                W = w_u
+                bits_w = [cb] * (W - 1) + [min(b_top, cb)]
+        else:
+            W = -(-self.num_bits // c)
+            bits_w = [min(c, self.num_bits - w * c) for w in range(W)]
         self.W = W
-        bits_w = [min(c, self.num_bits - w * c) for w in range(W)]
-        r_w = np.array([c - b for b in bits_w], dtype=np.int64)
+        r_w = np.array([cb - b for b in bits_w], dtype=np.int64)
         mult_w = (1 << r_w).astype(np.uint32)  # replicas per bucket
         self.MULT = mult_w.reshape(W, 1)
         slot = np.arange(nb, dtype=np.int64)[None, :]  # (1, nb)
@@ -96,7 +114,7 @@ class PlaneMsm:
                 & (slot % mult == 0)
                 & (slot + (1 << k) < nb)
             ).reshape(1, W * nb)
-            for k in range(c)
+            for k in range(cb)
         ]
         # bucket-0 suppression (digit == 0 <=> slot < mult); also used to
         # zero S_0 between the two scans
@@ -134,7 +152,7 @@ class PlaneMsm:
         layout is bandwidth-cheap.
         """
         c = self.c
-        nb = 1 << c
+        nb = 1 << self.cb
         W, n = digits_t.shape
         KR = self.K * self.pc.R8
         lanes = W * nb
@@ -150,8 +168,23 @@ class PlaneMsm:
         iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.uint32), (W, n))
         # replica slot key: digit·2^r | (i mod 2^r) — uniform bucket sizes
         mult = jnp.asarray(self.MULT)  # (W, 1) uint32
-        keys = digits_t * mult + (iota & (mult - 1))
-        d_sorted, perm = jax.lax.sort_key_val(keys, iota, dimension=-1)
+        if self.signed:
+            # bucket index = |d| - 1; zero digits get key nb (falls past
+            # every searchsorted boundary = dropped); negative digits index
+            # the negated half (rows [n, 2n)) of the point table
+            mag = jnp.abs(digits_t).astype(jnp.uint32)
+            keys = jnp.where(
+                mag == 0,
+                jnp.uint32(nb),
+                (mag - 1) * mult + (iota & (mult - 1)),
+            )
+            payload = iota + jnp.where(
+                digits_t < 0, jnp.uint32(n), jnp.uint32(0)
+            )
+        else:
+            keys = digits_t * mult + (iota & (mult - 1))
+            payload = iota
+        d_sorted, perm = jax.lax.sort_key_val(keys, payload, dimension=-1)
 
         targets = jnp.broadcast_to(
             jnp.arange(nb + 1, dtype=jnp.uint32), (W, nb + 1)
@@ -159,10 +192,12 @@ class PlaneMsm:
         boundaries = jax.vmap(jnp.searchsorted)(d_sorted, targets)  # (W, nb+1)
         start = boundaries[:, :-1].astype(jnp.int32)
         length = (boundaries[:, 1:] - boundaries[:, :-1]).astype(jnp.int32)
-        # digit-0 slots contribute nothing
-        length = jnp.where(
-            jnp.asarray(self.BUCKET0).reshape(W, nb), 0, length
-        )
+        if not self.signed:
+            # digit-0 slots contribute nothing (signed mode drops them via
+            # the out-of-range sort key instead)
+            length = jnp.where(
+                jnp.asarray(self.BUCKET0).reshape(W, nb), 0, length
+            )
         max_len = jnp.max(length)
 
         acc = self.identity_planes(lanes)
@@ -201,24 +236,31 @@ class PlaneMsm:
             mask = jnp.asarray(self.COLLAPSE[j]).astype(F32)
             acc3 = self._masked_step(acc3, g, mask)
 
-        # Σ_b b·B_b per window == double suffix scan on the coarse grid:
-        # S_b = Σ_{j>=b} B_j, then Σ_{b>=1} S_b (see ops/msm.py).
+        # Σ_b w(b)·B_b per window == double suffix scan on the coarse grid:
+        # S_b = Σ_{j>=b} B_j, then Σ_{b>=1} S_b gives weight w(b) = b
+        # (unsigned). Signed buckets carry weight w(b) = b+1 (bucket b holds
+        # |digit| = b+1): keep S_0 in the second scan, Σ_{b>=0} S_b.
         def scan(acc3):
-            for k in range(c):
+            for k in range(self.cb):
                 g = rolled(acc3, 1 << k)
                 mask = jnp.asarray(self.SCAN[k]).astype(F32)
                 acc3 = self._masked_step(acc3, g, mask)
             return acc3
 
         suffix = scan(acc3)
-        # zero out slot 0 (S_0 = Σ all; we want Σ_{b>=1} S_b)
-        idp = self.identity_planes(lanes)
-        slot_ids = jnp.arange(nb, dtype=jnp.int32)
-        is_s0 = (slot_ids == 0)[None, :]
-        mask0 = jnp.broadcast_to(is_s0, (W, nb)).reshape(1, lanes).astype(F32)
-        seeded = tuple(
-            mask0 * i + (1 - mask0) * s for i, s in zip(idp, suffix)
-        )
+        if self.signed:
+            seeded = suffix
+        else:
+            # zero out slot 0 (S_0 = Σ all; we want Σ_{b>=1} S_b)
+            idp = self.identity_planes(lanes)
+            slot_ids = jnp.arange(nb, dtype=jnp.int32)
+            is_s0 = (slot_ids == 0)[None, :]
+            mask0 = (
+                jnp.broadcast_to(is_s0, (W, nb)).reshape(1, lanes).astype(F32)
+            )
+            seeded = tuple(
+                mask0 * i + (1 - mask0) * s for i, s in zip(idp, suffix)
+            )
         totals = scan(seeded)
         # window totals live at slot 0 of each window
         tX = totals[0].reshape(-1, W, nb)[:, :, 0]
@@ -295,11 +337,12 @@ def get_plane_msm(
     tile: int = 256,
     interpret: bool | None = None,
     group: str = "g1",
+    signed: bool = False,
 ) -> PlaneMsm:
-    key = (curve.name, c, num_bits, tile, interpret, group)
+    key = (curve.name, c, num_bits, tile, interpret, group, signed)
     plan = _PLANS.get(key)
     if plan is None:
-        plan = PlaneMsm(curve, c, num_bits, tile, interpret, group)
+        plan = PlaneMsm(curve, c, num_bits, tile, interpret, group, signed)
         _PLANS[key] = plan
     return plan
 

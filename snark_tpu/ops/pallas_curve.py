@@ -444,6 +444,34 @@ def pack_rows_u8_host(pc: PlaneCurve, points, group: str = "g1") -> np.ndarray:
     return np.concatenate(cols + [flags[:, None]], axis=1)
 
 
+def negate_points_host(curve: CurveParams, points, group: str = "g1"):
+    """Host affine points -> their negations (y -> p - y); None -> None."""
+    p = curve.fq.modulus
+    if group == "g1":
+        return [
+            None if pt is None else (pt[0], (p - pt[1]) % p) for pt in points
+        ]
+    return [
+        None
+        if pt is None
+        else (pt[0], tuple((p - y) % p for y in pt[1]))
+        for pt in points
+    ]
+
+
+def pack_rows_u8_signed_host(
+    pc: PlaneCurve, points, group: str = "g1"
+) -> np.ndarray:
+    """(2N, 2·K·R8+1) uint8 table: rows [0, N) = points, [N, 2N) = their
+    negations — the layout signed-digit plane MSM gathers from (negative
+    digits read row i + N)."""
+    pos = pack_rows_u8_host(pc, points, group)
+    neg = pack_rows_u8_host(
+        pc, negate_points_host(pc.curve, points, group), group
+    )
+    return np.concatenate([pos, neg], axis=0)
+
+
 def pack_points_host(pc: PlaneCurve, points, group: str = "g1") -> tuple:
     """Host affine points (None = identity) -> (X, Y, Z) (K·R8, N) planes."""
     pf = pc.pf

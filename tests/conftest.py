@@ -36,7 +36,7 @@ assert len(jax.devices()) == 8, jax.devices()
 # Persistent compilation cache: this box has 2 vCPUs and XLA compiles of the
 # big-graph kernels (G2 MSM etc.) dominate test wall-clock. Cache survives
 # across pytest runs.
-_cache_dir = os.path.join(
+_cache_dir = os.environ.get("SNARK_TPU_TEST_CACHE") or os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
 )
 jax.config.update("jax_compilation_cache_dir", _cache_dir)

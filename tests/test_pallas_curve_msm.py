@@ -99,3 +99,42 @@ def test_plane_msm(c):
     X, Y, Z = plan.msm(table, digits)
     got = unpack_points_host(pc, np.asarray(X), np.asarray(Y), np.asarray(Z))[0]
     assert got == exp
+
+
+@pytest.mark.parametrize("c", [8, 11])
+def test_plane_msm_signed(c):
+    """Signed (balanced) digits: half the bucket slots, 2N-row table with
+    negated points in the upper half; weights shift to b+1 via keeping S_0
+    in the second suffix scan."""
+    from snark_tpu.ops.msm import scalars_to_digits_signed
+    from snark_tpu.ops.pallas_curve import pack_rows_u8_signed_host
+
+    curve = BN254
+    pc = get_plane_curve(curve)
+    hc = host_g1(curve)
+    fr = Fp(curve.fr)
+    rng = random.Random(9)
+    n = 512
+    pts = [
+        hc.scalar_mul(hc.generator, rng.randrange(1, curve.fr.modulus))
+        for _ in range(30)
+    ] + [None, None]
+    pts = pts * (n // 32)
+    scalars = [rng.randrange(0, curve.fr.modulus) for _ in range(n)]
+    # edge scalars: 0, 1, r-1, all-windows-at-half (stress the balance rule)
+    half_pat = sum((1 << (c - 1)) << (c * w) for w in range(curve.fr.num_bits // c))
+    scalars[:4] = [0, 1, curve.fr.modulus - 1, half_pat % curve.fr.modulus]
+    table = jnp.asarray(pack_rows_u8_signed_host(pc, pts))
+    digits = scalars_to_digits_signed(
+        fr.to_limbs_array(scalars), c, curve.fr.num_bits
+    )
+    assert int(np.abs(digits).max()) <= 1 << (c - 1)
+    plan = get_plane_msm(curve, c, interpret=True, signed=True)
+    exp = None
+    for s, pt in zip(scalars, pts):
+        if pt is not None:
+            exp = hc.add(exp, hc.scalar_mul(pt, s))
+    assert plan.msm_host(table, digits, hc) == exp
+    X, Y, Z = plan.msm(table, digits)
+    got = unpack_points_host(pc, np.asarray(X), np.asarray(Y), np.asarray(Z))[0]
+    assert got == exp
