@@ -48,7 +48,6 @@ def main():
     from snark_tpu.ops.pallas_curve import (
         get_plane_curve,
         pack_rows_u8_host,
-        pack_rows_u8_signed_host,
         unpack_points_host,
     )
 

@@ -69,22 +69,11 @@ def main():
 
     nb = 1 << plan.cb
 
-    # --- stage A: sort + boundaries only ---------------------------------
+    # --- stage A: sort + boundaries only (keys via the plan's own scheme,
+    # so the profiled stage cannot drift from the real pipeline) -----------
     @jax.jit
     def sort_stage(digits_t):
-        iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.uint32), (W, n))
-        mult = jnp.asarray(plan.MULT)
-        if signed:
-            mag = jnp.abs(digits_t).astype(jnp.uint32)
-            keys = jnp.where(
-                mag == 0, jnp.uint32(nb), (mag - 1) * mult + (iota & (mult - 1))
-            )
-            payload = iota + jnp.where(
-                digits_t < 0, jnp.uint32(n), jnp.uint32(0)
-            )
-        else:
-            keys = digits_t * mult + (iota & (mult - 1))
-            payload = iota
+        keys, payload = plan.sort_keys(digits_t)
         d_sorted, perm = jax.lax.sort_key_val(keys, payload, dimension=-1)
         targets = jnp.broadcast_to(
             jnp.arange(nb + 1, dtype=jnp.uint32), (W, nb + 1)

@@ -255,6 +255,23 @@ def _fixed_base_g2(curve: CurveParams, scalars: list[int]) -> jnp.ndarray:
     return plan(table, digits)[:n]
 
 
+def assemble_proof(g16, pk, A_sum, B_sum, B1_sum, L_sum, H_sum, r, s) -> Proof:
+    """Host tail of the prover: fold the five MSM results into (A, B, C)
+    per eprint 2016/260 (O(1) point ops; shared by the single-chip,
+    batched, and distributed provers)."""
+    g1, g2 = g16.hg1, g16.hg2
+    p = g16.fr.p
+    vk = pk.vk
+    A = g1.add(g1.add(vk.alpha_g1, A_sum), g1.scalar_mul(pk.delta_g1, r))
+    B = g2.add(g2.add(vk.beta_g2, B_sum), g2.scalar_mul(vk.delta_g2, s))
+    B1 = g1.add(g1.add(pk.beta_g1, B1_sum), g1.scalar_mul(pk.delta_g1, s))
+    C = g1.add(L_sum, H_sum)
+    C = g1.add(C, g1.scalar_mul(A, s))
+    C = g1.add(C, g1.scalar_mul(B1, r))
+    C = g1.add(C, g1.neg(g1.scalar_mul(pk.delta_g1, r * s % p)))
+    return Proof(a=A, b=B, c=C)
+
+
 class Groth16:
     """SNARK implementation (CircuitSpecificSetupSNARK flavor)."""
 
@@ -393,9 +410,90 @@ class Groth16:
     setup = circuit_specific_setup
 
     # ------------------------------------------------------------------
+    # ProvingKey canonical bytes (snark/src/lib.rs:25-27: the SNARK trait
+    # bounds ProvingKey by CanonicalSerialize + CanonicalDeserialize)
+    # ------------------------------------------------------------------
+    def pk_to_bytes(self, pk: ProvingKey, compress: bool = True) -> bytes:
+        """Full ark-layout ProvingKey bytes (field order per arkworks
+        groth16: vk ‖ beta_g1 ‖ delta_g1 ‖ five affine query Vecs)."""
+        from ..snark import serialize as ser
+
+        return ser.serialize_pk_points(
+            pk.vk,
+            pk.beta_g1,
+            pk.delta_g1,
+            self.g1_ops.to_affine_host(pk.a_query),
+            self.g1_ops.to_affine_host(pk.b_g1_query),
+            self.g2_ops.to_affine_host(pk.b_g2_query),
+            self.g1_ops.to_affine_host(pk.h_query),
+            self.g1_ops.to_affine_host(pk.l_query),
+            compress,
+        )
+
+    def pk_from_bytes(self, data: bytes, circuit, compress: bool = True) -> ProvingKey:
+        """Rebuild a device-resident ProvingKey from ark-layout bytes.
+
+        The byte layout carries only the cryptographic material (like
+        arkworks); the circuit matrices are re-synthesized from `circuit`
+        in Setup mode — the same re-synthesis arkworks' prove performs.
+        """
+        from ..snark import serialize as ser
+        from ..ops.pallas_curve import pack_rows_u8_host
+
+        vk, beta_g1, delta_g1, (a_q, b1_q, b2_q, h_q, l_q) = (
+            ser.deserialize_pk_points(data, self.curve, compress)
+        )
+        fr = self.fr
+        cs = new_ref(fr)
+        cs.set_optimization_goal(OptimizationGoal.Constraints)
+        cs.set_mode(SynthesisMode.setup())
+        circuit.generate_constraints(cs)
+        cs.finalize()
+        matrices = cs.to_matrices()[R1CS_PREDICATE_LABEL]
+        nc = cs.num_constraints()
+        ni = cs.num_instance_variables
+        nw = cs.num_witness_variables
+        n = domain_size_for(nc, ni)
+        assert len(h_q) == n - 1 and len(a_q) == ni + nw
+
+        fr_params = self.curve.fr
+        pc = get_plane_curve(self.curve)
+        rev = _bit_reverse_indices(n)
+        h_padded = [h_q[rev[k]] if rev[k] < n - 1 else None for k in range(n)]
+        return ProvingKey(
+            vk=vk,
+            beta_g1=beta_g1,
+            delta_g1=delta_g1,
+            a_query=self.g1_ops.pack_affine_host(a_q),
+            b_g1_query=self.g1_ops.pack_affine_host(b1_q),
+            b_g2_query=self.g2_ops.pack_affine_host(b2_q),
+            h_query=self.g1_ops.pack_affine_host(h_q),
+            l_query=self.g1_ops.pack_affine_host(l_q),
+            a_tbl=jnp.asarray(pack_rows_u8_host(pc, a_q)),
+            b_g1_tbl=jnp.asarray(pack_rows_u8_host(pc, b1_q)),
+            b_g2_tbl=jnp.asarray(pack_rows_u8_host(pc, b2_q, "g2")),
+            h_tbl=jnp.asarray(pack_rows_u8_host(pc, h_padded)),
+            l_tbl=jnp.asarray(pack_rows_u8_host(pc, l_q)),
+            mat_a=PaddedCsr.from_rows(matrices[0], fr_params, nc),
+            mat_b=PaddedCsr.from_rows(matrices[1], fr_params, nc),
+            mat_c=PaddedCsr.from_rows(matrices[2], fr_params, nc),
+            num_instance=ni,
+            num_witness=nw,
+            num_constraints=nc,
+            domain_size=n,
+        )
+
+    # ------------------------------------------------------------------
     def prove(self, pk: ProvingKey, circuit, rng: random.Random | None = None,
-              r: int | None = None, s: int | None = None) -> Proof:
+              r: int | None = None, s: int | None = None,
+              deterministic: bool = False) -> Proof:
         """Synthesize the witness and produce (A, B, C).
+
+        The reference requires `RngCore + CryptoRng` for proving randomness
+        (snark/src/lib.rs:16-19,50-54): r = s = 0 yields a valid but
+        NON-zero-knowledge proof, so omitting `rng` (and r/s) raises unless
+        the caller opts in explicitly with `deterministic=True`. Use
+        `utils.rng.secure_rng()` (OS entropy) in production.
 
         Synthesis runs with construct_matrices=False — the device already
         holds the CSR matrices from setup (a TPU-first deviation: arkworks
@@ -403,6 +501,12 @@ class Groth16:
         gr1cs/mod.rs:82-89 and bench.rs:95-98).
         """
         fr = self.fr
+        if rng is None and r is None and s is None and not deterministic:
+            raise ValueError(
+                "prove() without an rng (or explicit r/s) produces a proof "
+                "with ZERO zero-knowledge; pass rng=secure_rng(), explicit "
+                "r/s, or deterministic=True to opt in"
+            )
         if r is None:
             r = fr.rand(rng) if rng is not None else 0
         if s is None:
@@ -501,19 +605,7 @@ class Groth16:
             h_digits = df.window_digits(h_std, c_h, nbits)
             H_sum = msm_host_combine(self.g1_ops, self.hg1, pk.h_query, h_digits, c_h)
 
-        # assemble on host (O(1) point ops)
-        g1, g2 = self.hg1, self.hg2
-        vk = pk.vk
-
-        A = g1.add(g1.add(vk.alpha_g1, A_sum), g1.scalar_mul(pk.delta_g1, r))
-        B = g2.add(g2.add(vk.beta_g2, B_sum), g2.scalar_mul(vk.delta_g2, s))
-        B1 = g1.add(g1.add(pk.beta_g1, B1_sum), g1.scalar_mul(pk.delta_g1, s))
-
-        C = g1.add(L_sum, H_sum)
-        C = g1.add(C, g1.scalar_mul(A, s))
-        C = g1.add(C, g1.scalar_mul(B1, r))
-        C = g1.add(C, g1.neg(g1.scalar_mul(pk.delta_g1, r * s % p)))
-        return Proof(a=A, b=B, c=C)
+        return assemble_proof(self, pk, A_sum, B_sum, B1_sum, L_sum, H_sum, r, s)
 
     # ------------------------------------------------------------------
     def process_vk(self, vk: VerifyingKey) -> PreparedVerifyingKey:

@@ -119,6 +119,18 @@ class PlaneMsm:
         # bucket-0 suppression (digit == 0 <=> slot < mult); also used to
         # zero S_0 between the two scans
         self.BUCKET0 = (slot < mult).reshape(1, W * nb)
+        # spill lanes (load balancing; see _window_sums_impl): a multiple of
+        # tile, ~10% of the main lanes, 0 disables
+        import os
+
+        sl = os.environ.get("SNARK_TPU_MSM_SPILL")
+        if sl is not None:
+            self.spill_lanes = int(sl)
+        else:
+            lanes = W * nb
+            self.spill_lanes = (
+                max(1, (lanes // 10) // tile) * tile if lanes >= 8 * tile else 0
+            )
         self._sums = jax.jit(self._window_sums_impl)
         self._combine = jax.jit(self._combine_impl)
 
@@ -140,6 +152,34 @@ class PlaneMsm:
         gX, gY, gZ = gathered
         return self.madd(aX, aY, aZ, gX, gY, gZ, mask)
 
+    def sort_keys(self, digits_t):
+        """Replica-slot sort keys + gather payload for (W, N) digits.
+
+        Single source of truth for the keying scheme (used by the scan and
+        by scripts/profile_msm.py): key = bucket·2^r | (i mod 2^r); signed
+        mode maps |digit|-1 to the bucket, drops zeros past the last
+        searchsorted boundary via key = nb, and offsets the payload by N so
+        negative digits gather the negated table half.
+        """
+        W, n = digits_t.shape
+        nb = 1 << self.cb
+        iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.uint32), (W, n))
+        mult = jnp.asarray(self.MULT)  # (W, 1) uint32
+        if self.signed:
+            mag = jnp.abs(digits_t).astype(jnp.uint32)
+            keys = jnp.where(
+                mag == 0,
+                jnp.uint32(nb),
+                (mag - 1) * mult + (iota & (mult - 1)),
+            )
+            payload = iota + jnp.where(
+                digits_t < 0, jnp.uint32(n), jnp.uint32(0)
+            )
+        else:
+            keys = digits_t * mult + (iota & (mult - 1))
+            payload = iota
+        return keys, payload
+
     # -- phase 1-4: per-window bucket sums ---------------------------------
     def _window_sums_impl(self, table, digits_t):
         """table (N, 2·R8+1) uint8 rows (X digits ‖ Y digits ‖ z-flag, in
@@ -158,6 +198,13 @@ class PlaneMsm:
         lanes = W * nb
         assert W == self.W, (W, self.W)
         assert lanes % self.tile == 0, (W, nb, self.tile)
+        # signed mode gathers row i+N for negative digits: an N-row table
+        # would silently clamp those indices to wrong rows (jnp.take clamps)
+        expect_rows = 2 * n if self.signed else n
+        assert table.shape[0] == expect_rows, (
+            f"table has {table.shape[0]} rows; {'signed' if self.signed else 'unsigned'}"
+            f" plan with N={n} digits requires {expect_rows}"
+        )
         one_np = np.concatenate(
             [self.pc.pf.ONE_MONT_COL]
             + [np.zeros_like(self.pc.pf.ONE_MONT_COL)] * (self.K - 1),
@@ -165,25 +212,7 @@ class PlaneMsm:
         )
         one_col = jnp.asarray(one_np)  # (K·R8, 1)
 
-        iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.uint32), (W, n))
-        # replica slot key: digit·2^r | (i mod 2^r) — uniform bucket sizes
-        mult = jnp.asarray(self.MULT)  # (W, 1) uint32
-        if self.signed:
-            # bucket index = |d| - 1; zero digits get key nb (falls past
-            # every searchsorted boundary = dropped); negative digits index
-            # the negated half (rows [n, 2n)) of the point table
-            mag = jnp.abs(digits_t).astype(jnp.uint32)
-            keys = jnp.where(
-                mag == 0,
-                jnp.uint32(nb),
-                (mag - 1) * mult + (iota & (mult - 1)),
-            )
-            payload = iota + jnp.where(
-                digits_t < 0, jnp.uint32(n), jnp.uint32(0)
-            )
-        else:
-            keys = digits_t * mult + (iota & (mult - 1))
-            payload = iota
+        keys, payload = self.sort_keys(digits_t)
         d_sorted, perm = jax.lax.sort_key_val(keys, payload, dimension=-1)
 
         targets = jnp.broadcast_to(
@@ -198,29 +227,115 @@ class PlaneMsm:
             length = jnp.where(
                 jnp.asarray(self.BUCKET0).reshape(W, nb), 0, length
             )
-        max_len = jnp.max(length)
+        length_f = length.reshape(lanes)
+        start_f = start.reshape(lanes)
+
+        # ---- spill scheduling (scatter-free load balancing) --------------
+        # The while-loop trip count is the MAX bucket length; the mean is
+        # n_eff/nb, so the Poisson tail wastes ~(max-mean)/max of every
+        # masked step. Cap the main scan at T1 = mean + 1.5σ and run the
+        # overflow of the ≤S longest buckets on S dedicated spill lanes.
+        # Safety without scatter: with kth = S-th largest length and
+        # t* = max(T1, kth), the spilled set {length > t*} always has < S
+        # members, and non-spilled buckets keep their full length in the
+        # main scan — correct even if > S buckets exceed T1.
+        S = self.spill_lanes
+        use_spill = S > 0 and lanes > S
+        if use_spill:
+            mean = max(1, n // nb if self.signed else n // max(1, nb))
+            T1 = int(mean + max(2, int(1.5 * mean**0.5)))
+            top_vals, top_idx = jax.lax.top_k(length_f, S)
+            kth = top_vals[S - 1]
+            t_star = jnp.maximum(jnp.int32(T1), kth)
+            spilled_k = top_vals > t_star  # (S,) among the top-k
+            eff_len = jnp.where(
+                length_f > t_star, jnp.minimum(length_f, T1), length_f
+            )
+        else:
+            eff_len = length_f
+        max_len = jnp.max(eff_len)
 
         acc = self.identity_planes(lanes)
 
+        def gather_rows(flat_idx):
+            rows = jnp.take(table, flat_idx, axis=0)  # (L, 2·K·R8+1) u8
+            rf = rows.astype(F32).T
+            return rf
+
+        def decode(rf):
+            return (
+                rf[:KR],
+                rf[KR : 2 * KR],
+                rf[2 * KR : 2 * KR + 1] * one_col,
+            )
+
+        def step_idx(i):
+            pos = jnp.minimum(start_f + i, n - 1)  # (lanes,)
+            return jnp.take_along_axis(
+                perm, pos.reshape(W, nb).astype(jnp.uint32), axis=1
+            ).reshape(lanes)
+
+        # software-pipelined scan: the gather for step i+1 is issued before
+        # the fused adds of step i consume the previous gather, so XLA's
+        # latency-hiding scheduler overlaps the row gather with the Pallas
+        # kernel (measured ~2 ms/step at 81920 lanes; scripts/
+        # bench_scan_overlap.py)
         def cond(state):
             return state[0] < max_len
 
         def body(state):
-            i, aX, aY, aZ = state
-            pos = jnp.minimum(start + i, n - 1)  # (W, nb)
-            idx = jnp.take_along_axis(perm, pos.astype(jnp.uint32), axis=1)
-            flat = idx.reshape(lanes)
-            rows = jnp.take(table, flat, axis=0)  # (lanes, 2·K·R8+1) u8
-            rf = rows.astype(F32).T  # (2·K·R8+1, lanes)
-            g = (rf[:KR], rf[KR : 2 * KR], rf[2 * KR : 2 * KR + 1] * one_col)
-            mask = (i < length).reshape(1, lanes).astype(F32)
-            aX, aY, aZ = self._masked_step((aX, aY, aZ), g, mask)
-            return i + 1, aX, aY, aZ
+            i, aX, aY, aZ, rf = state
+            rf_next = gather_rows(step_idx(i + 1))
+            mask = (i < eff_len).reshape(1, lanes).astype(F32)
+            aX, aY, aZ = self._masked_step((aX, aY, aZ), decode(rf), mask)
+            return i + 1, aX, aY, aZ, rf_next
 
-        _, bX, bY, bZ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), *acc)
+        rf0 = gather_rows(step_idx(jnp.int32(0)))
+        _, bX, bY, bZ, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), *acc, rf0)
         )
         acc3 = (bX, bY, bZ)
+
+        if use_spill:
+            # spill lane s handles bucket top_idx[s] from depth T1 on
+            sp_start = jnp.take(start_f, top_idx) + T1
+            sp_len = jnp.where(spilled_k, top_vals - T1, 0)
+            sp_win = (top_idx // nb).astype(jnp.uint32)  # window of each lane
+            perm_flat = perm.reshape(W * n)
+            sp_max = jnp.max(sp_len)
+            sacc = self.identity_planes(S)
+
+            def sp_idx(j):
+                pos = jnp.minimum(sp_start + j, n - 1)
+                return jnp.take(perm_flat, sp_win * n + pos.astype(jnp.uint32))
+
+            def sp_cond(state):
+                return state[0] < sp_max
+
+            def sp_body(state):
+                j, aX, aY, aZ, rf = state
+                rf_next = gather_rows(sp_idx(j + 1))
+                mask = (j < sp_len).reshape(1, S).astype(F32)
+                aX, aY, aZ = self._masked_step((aX, aY, aZ), decode(rf), mask)
+                return j + 1, aX, aY, aZ, rf_next
+
+            _, sX, sY, sZ, _ = jax.lax.while_loop(
+                sp_cond, sp_body, (jnp.int32(0), *sacc, gather_rows(sp_idx(jnp.int32(0))))
+            )
+            # fold spill partials back: inverse map lane -> spill slot
+            inv = (
+                jnp.full((lanes,), -1, jnp.int32)
+                .at[top_idx]
+                .set(jnp.where(spilled_k, jnp.arange(S, dtype=jnp.int32), -1))
+            )
+            safe = jnp.maximum(inv, 0)
+            g_sp = (
+                jnp.take(sX, safe, axis=1),
+                jnp.take(sY, safe, axis=1),
+                jnp.take(sZ, safe, axis=1),
+            )
+            mask_sp = (inv >= 0).reshape(1, lanes).astype(F32)
+            acc3 = self._masked_step(acc3, g_sp, mask_sp)
 
         def rolled(acc3, stride):
             def roll3(A):

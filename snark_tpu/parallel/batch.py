@@ -120,23 +120,20 @@ class BatchProver:
                 (fr.rand(rng) if rng else 0, fr.rand(rng) if rng else 0)
                 for _ in range(B)
             ]
-        g1h, g2h = g16.hg1, g16.hg2
+        from ..groth16.groth16 import assemble_proof
+
         A_list = g16.g1_ops.to_affine_host(a_acc)
         B_list = g16.g2_ops.to_affine_host(b_acc)
         B1_list = g16.g1_ops.to_affine_host(b1_acc)
         L_list = g16.g1_ops.to_affine_host(l_acc)
         H_list = g16.g1_ops.to_affine_host(h_acc)
         proofs = []
-        vk = pk.vk
-        p = fr.p
         for i in range(B):
             r, s = rs[i]
-            A = g1h.add(g1h.add(vk.alpha_g1, A_list[i]), g1h.scalar_mul(pk.delta_g1, r))
-            Bp = g2h.add(g2h.add(vk.beta_g2, B_list[i]), g2h.scalar_mul(vk.delta_g2, s))
-            B1 = g1h.add(g1h.add(pk.beta_g1, B1_list[i]), g1h.scalar_mul(pk.delta_g1, s))
-            C = g1h.add(L_list[i], H_list[i])
-            C = g1h.add(C, g1h.scalar_mul(A, s))
-            C = g1h.add(C, g1h.scalar_mul(B1, r))
-            C = g1h.add(C, g1h.neg(g1h.scalar_mul(pk.delta_g1, r * s % p)))
-            proofs.append(Proof(a=A, b=Bp, c=C))
+            proofs.append(
+                assemble_proof(
+                    g16, pk, A_list[i], B_list[i], B1_list[i], L_list[i],
+                    H_list[i], r, s,
+                )
+            )
         return proofs

@@ -329,8 +329,13 @@ class ConstraintSystem:
                 predicate_label
             ].enforce_constraints_batch(cols)
         else:
-            # still count constraints? matrices not constructed => predicate
-            # storage untouched, mirroring the per-constraint path.
+            # Pinned semantics (mirrors the per-constraint enforce_constraint
+            # path and the reference's Prove{construct_matrices: false} mode,
+            # constraint_system.rs:241-289): when matrices are not
+            # constructed, predicate storage is untouched and num_constraints
+            # does NOT advance. Counting callers must synthesize in a
+            # matrix-constructing mode. Tested by
+            # test_relations_units.test_batch_enforce_no_matrices_counting.
             pass
         traces = self.predicate_traces.get(predicate_label)
         if traces is not None:

@@ -37,15 +37,26 @@ class CsrMatrix:
     the device never sees bignums outside limb form.
     """
 
-    __slots__ = ("num_rows", "num_cols", "row_ptr", "col_idx", "coeff_ids", "field")
+    __slots__ = (
+        "num_rows",
+        "num_cols",
+        "row_ptr",
+        "col_idx",
+        "coeff_ids",
+        "field",
+        "interner",
+    )
 
-    def __init__(self, num_rows, num_cols, row_ptr, col_idx, coeff_ids, field):
+    def __init__(
+        self, num_rows, num_cols, row_ptr, col_idx, coeff_ids, field, interner=None
+    ):
         self.num_rows = num_rows
         self.num_cols = num_cols
         self.row_ptr = row_ptr  # (num_rows+1,) int64
         self.col_idx = col_idx  # (nnz,) int32
         self.coeff_ids = coeff_ids  # (nnz,) int32
         self.field = field
+        self.interner = interner  # FieldInterner carrying coeff_ids' values
 
     @classmethod
     def from_rows(cls, rows, num_cols: int, field, interner=None):
@@ -63,14 +74,12 @@ class CsrMatrix:
                 coeff_ids[k] = interner.get_or_intern(coeff % field.p)
                 k += 1
             row_ptr[i + 1] = k
-        mat = cls(len(rows), num_cols, row_ptr, col_idx, coeff_ids, field)
-        mat._interner = interner  # type: ignore[attr-defined]
-        return mat
+        return cls(len(rows), num_cols, row_ptr, col_idx, coeff_ids, field, interner)
 
     def mat_vec_mul_ints(self, interner, vector: list[int]) -> list[int]:
         """Host-side reference product (for tests)."""
         p = self.field.p
-        vals = interner.values
+        vals = (interner or self.interner).values
         out = []
         for i in range(self.num_rows):
             s, e = self.row_ptr[i], self.row_ptr[i + 1]

@@ -36,8 +36,11 @@ assert len(jax.devices()) == 8, jax.devices()
 # Persistent compilation cache: this box has 2 vCPUs and XLA compiles of the
 # big-graph kernels (G2 MSM etc.) dominate test wall-clock. Cache survives
 # across pytest runs.
+# NOTE: deliberately a different directory from the TPU scripts' .jax_cache —
+# concurrent readers/writers of one cache dir have segfaulted in
+# zstd/cache-entry deserialization when a TPU bench ran alongside pytest.
 _cache_dir = os.environ.get("SNARK_TPU_TEST_CACHE") or os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu"
 )
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -63,3 +63,18 @@ def test_groth16_batch_circuit_path():
     pk, vk = g16.circuit_specific_setup(circuit, rng)
     proof = g16.prove(pk, circuit, rng=rng)
     assert g16.verify(vk, [11], proof)
+
+
+def test_prove_requires_rng_or_explicit_opt_in():
+    """prove() with no randomness source must refuse (snark/src/lib.rs:16-19
+    requires RngCore + CryptoRng); deterministic=True is the explicit
+    escape hatch and yields the r=s=0 proof."""
+    rng = random.Random(3)
+    g16 = Groth16(BN254)
+    circuit = MulChainCircuit(seed=2, n=8, batch=False)
+    pk, vk = g16.circuit_specific_setup(circuit, rng)
+    with pytest.raises(ValueError, match="zero-knowledge"):
+        g16.prove(pk, circuit)
+    p0 = g16.prove(pk, circuit, deterministic=True)
+    assert p0 == g16.prove(pk, circuit, r=0, s=0)
+    assert g16.verify(vk, [2 % BN254.fr.modulus], p0)

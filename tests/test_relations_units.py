@@ -210,3 +210,60 @@ def test_batch_csr_enforce():
         for cs in (cs1, cs2):
             cs.finalize()
             assert cs.is_satisfied()  # (1*2 + 2*3) * 4 == 8 * 4
+
+
+def test_to_csr_matrices_roundtrip():
+    """Device-handoff CSR equals to_matrices() (VERDICT r1 item 5: the
+    __slots__ bug made every call raise; pin the repaired path)."""
+    cs = ConstraintSystem(FR)
+    x = cs.new_input_variable(3)
+    w = [cs.new_witness_variable(v) for v in (2, 6, 36)]
+    cs.enforce_r1cs_constraint(
+        cs.lc_terms((1, x), (FR.p - 1, w[0])),  # (x - w0) * w1 = ...
+        cs.lc(w[1]),
+        cs.lc_terms((1, w[2]), (FR.p - 30, V.ONE)),
+    )
+    cs.finalize()
+    dense = cs.to_matrices()
+    csr = cs.to_csr_matrices()
+    assert set(dense) == set(csr)
+    z = cs.full_assignment()
+    for label in dense:
+        for mat_dense, mat_csr in zip(dense[label], csr[label]):
+            assert mat_csr.interner is cs.field_interner
+            from snark_tpu.relations.matrix import mat_vec_mul
+
+            want = mat_vec_mul(mat_dense, z, FR.p)
+            got = mat_csr.mat_vec_mul_ints(None, z)
+            assert got == want
+            # CSR structure mirrors the dense rows exactly
+            assert mat_csr.num_rows == len(mat_dense)
+            import numpy as np  # noqa: F811
+
+            assert list(np.diff(mat_csr.row_ptr)) == [
+                len(r) for r in mat_dense
+            ]
+
+
+def test_batch_enforce_no_matrices_counting():
+    """Pinned: batch enforce in a non-matrix mode leaves num_constraints
+    unchanged, exactly like the per-constraint path (constraint_system.py
+    batch path comment; ref Prove{construct_matrices: false})."""
+    for batch in (False, True):
+        cs = ConstraintSystem(FR)
+        cs.set_mode(
+            SynthesisMode.prove(
+                construct_matrices=False, generate_lc_assignments=False
+            )
+        )
+        w = [cs.new_witness_variable(v) for v in (2, 3, 6)]
+        if batch:
+            cs.enforce_r1cs_constraints_batch_vars(
+                np.array([w[0]], dtype=np.uint64),
+                np.array([w[1]], dtype=np.uint64),
+                np.array([w[2]], dtype=np.uint64),
+            )
+        else:
+            cs.enforce_r1cs_constraint(cs.lc(w[0]), cs.lc(w[1]), cs.lc(w[2]))
+        assert cs.num_constraints() == 0
+        assert cs.lc_map.num_lcs() == 1  # only LC0

@@ -87,3 +87,57 @@ def test_proof_and_vk_roundtrip():
     raw = ser.serialize_vk(vk)
     back = ser.deserialize_vk(raw, curve)
     assert back == vk
+
+
+def test_predicate_codec_roundtrip():
+    """Predicate Canonical codec (reference predicate/mod.rs:34-61 passes
+    through to the derived SparsePolynomial layout)."""
+    from snark_tpu.fields import BN254_FR, Fp
+    from snark_tpu.relations.predicate import PolynomialPredicate
+    from snark_tpu.snark.serialize import (
+        deserialize_predicate,
+        serialize_predicate,
+    )
+
+    f = Fp(BN254_FR)
+    # includes a duplicate term, a zero power and an unsorted product —
+    # the codec must canonicalize exactly like ark-poly
+    pred = PolynomialPredicate(
+        f, 3,
+        [(1, [(1, 2), (0, 1)]), (5, [(2, 1), (2, 1)]), (f.p - 1, [(0, 0), (2, 1)]),
+         (3, [(0, 1), (1, 2)])],
+    )
+    data = serialize_predicate(BN254_FR, pred)
+    back, off = deserialize_predicate(BN254_FR, data)
+    assert off == len(data)
+    # same polynomial: evaluate on a few points
+    import random as _r
+
+    rng = _r.Random(0)
+    for _ in range(5):
+        xs = [rng.randrange(f.p) for _ in range(3)]
+        assert pred.eval(xs) == back.eval(xs)
+    # canonical bytes are a fixed point
+    assert serialize_predicate(BN254_FR, back) == data
+
+
+def test_pk_canonical_bytes_roundtrip():
+    """Ark-layout ProvingKey bytes -> rebuilt pk proves identically
+    (snark/src/lib.rs:25-27; VERDICT r1 item 7)."""
+    import random as _r
+
+    from snark_tpu.fields import BN254
+    from snark_tpu.groth16 import Groth16
+    from snark_tpu.models import MulChainCircuit
+
+    g16 = Groth16(BN254)
+    circuit = MulChainCircuit(seed=4, n=10, batch=False)
+    pk, vk = g16.circuit_specific_setup(circuit, _r.Random(2))
+    for compress in (True, False):
+        data = g16.pk_to_bytes(pk, compress)
+        pk2 = g16.pk_from_bytes(data, circuit, compress)
+        assert g16.pk_to_bytes(pk2, compress) == data
+        p1 = g16.prove(pk, circuit, r=11, s=12)
+        p2 = g16.prove(pk2, circuit, r=11, s=12)
+        assert p1 == p2
+        assert g16.verify(vk, [4 % BN254.fr.modulus], p2)
