@@ -245,3 +245,86 @@ def make_tower(curve: CurveParams):
     fq6 = Fq6(fq2, curve.xi)
     fq12 = Fq12(fq6)
     return fq2, fq6, fq12
+
+
+# ---------------------------------------------------------------------------
+# sparse / cyclotomic extensions (production pairing support)
+# ---------------------------------------------------------------------------
+
+
+def _fq6_mul_by_01(s: Fq6, a, c0, c1):
+    """a · (c0 + c1 v) with c0, c1 in Fq2 (5 Fq2 muls)."""
+    f = s.fq2
+    a0, a1, a2 = a
+    t0 = f.mul(a0, c0)
+    t1 = f.mul(a1, c1)
+    out0 = f.add(t0, s.mul_by_xi(f.sub(f.mul(f.add(a1, a2), c1), t1)))
+    out1 = f.sub(f.mul(f.add(a0, a1), f.add(c0, c1)), f.add(t0, t1))
+    out2 = f.add(f.sub(f.mul(f.add(a0, a2), c0), t0), t1)
+    return (out0, out1, out2)
+
+
+def _fq6_mul_by_1(s: Fq6, a, c1):
+    """a · (c1 v)."""
+    f = s.fq2
+    a0, a1, a2 = a
+    return (s.mul_by_xi(f.mul(a2, c1)), f.mul(a0, c1), f.mul(a1, c1))
+
+
+def fq12_mul_by_034(F: Fq12, f, c0, c3, c4):
+    """f · (c0 + c3 w + c4 v w) — the D-twist line shape (arkworks
+    mul_by_034). c0, c3, c4 in Fq2."""
+    s = F.fq6
+    f2 = F.fq2
+    f0, f1 = f
+    t0 = s.mul_scalar_fq2(f0, c0)
+    t1 = _fq6_mul_by_01(s, f1, c3, c4)
+    o1 = _fq6_mul_by_01(s, s.add(f0, f1), f2.add(c0, c3), c4)
+    return (s.add(t0, s.mul_by_v(t1)), s.sub(o1, s.add(t0, t1)))
+
+
+def fq12_mul_by_014(F: Fq12, f, c0, c1, c4):
+    """f · ((c0 + c1 v) + c4 v w) — the M-twist line shape (arkworks
+    mul_by_014). c0, c1, c4 in Fq2."""
+    s = F.fq6
+    f2 = F.fq2
+    f0, f1 = f
+    t0 = _fq6_mul_by_01(s, f0, c0, c1)
+    t1 = _fq6_mul_by_1(s, f1, c4)
+    o1 = _fq6_mul_by_01(s, s.add(f0, f1), c0, f2.add(c1, c4))
+    return (s.add(t0, s.mul_by_v(t1)), s.sub(o1, s.add(t0, t1)))
+
+
+def _fp4_square(f2: Fq2, xi, a, b):
+    """(a + b y)² in Fq4 = Fq2[y]/(y² - ξ) -> (c0, c1)."""
+    t0 = f2.square(a)
+    t1 = f2.square(b)
+    c0 = f2.add(f2.mul(t1, xi), t0)
+    c1 = f2.sub(f2.sub(f2.square(f2.add(a, b)), t0), t1)
+    return c0, c1
+
+
+def fq12_cyclotomic_square(F: Fq12, f):
+    """Granger–Scott squaring, valid for f in the cyclotomic subgroup
+    (f^(p^6+1)·... = 1 after the easy part of the final exponentiation).
+    ~3 Fq4 squarings instead of a full Fq12 square."""
+    f2 = F.fq2
+    xi = F.fq6.xi
+    (z0, z4, z3), (z2, z1, z5) = f
+    t0, t1 = _fp4_square(f2, xi, z0, z1)
+    z0 = f2.sub(t0, z0)
+    z0 = f2.add(f2.add(z0, z0), t0)
+    z1 = f2.add(t1, z1)
+    z1 = f2.add(f2.add(z1, z1), t1)
+    t0, t1 = _fp4_square(f2, xi, z2, z3)
+    t2, t3 = _fp4_square(f2, xi, z4, z5)
+    z4 = f2.sub(t0, z4)
+    z4 = f2.add(f2.add(z4, z4), t0)
+    z5 = f2.add(t1, z5)
+    z5 = f2.add(f2.add(z5, z5), t1)
+    t0 = f2.mul(t3, xi)
+    z2 = f2.add(t0, z2)
+    z2 = f2.add(f2.add(z2, z2), t0)
+    z3 = f2.sub(t2, z3)
+    z3 = f2.add(f2.add(z3, z3), t2)
+    return ((z0, z4, z3), (z2, z1, z5))

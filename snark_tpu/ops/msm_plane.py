@@ -29,9 +29,11 @@ from .pallas_field_v3 import BF16, F32
 from .pallas_curve import (
     get_plane_curve,
     make_masked_add,
+    make_masked_mixed_add_rows,
     make_point_add,
     make_point_double,
     pack_points_host,
+    rows_pad_width,
     unpack_points_host,
 )
 
@@ -69,6 +71,10 @@ class PlaneMsm:
         self.tile = tile
         self.signed = signed
         self.madd = make_masked_add(curve, tile, interpret, group=group)
+        self.mixed_madd_rows = make_masked_mixed_add_rows(
+            curve, tile, interpret, group=group
+        )
+        self.rows_w = rows_pad_width(curve, group)
         self.add = make_point_add(curve, tile, interpret, group=group)
         self.dbl = make_point_double(curve, tile, interpret, group=group)
 
@@ -257,23 +263,24 @@ class PlaneMsm:
 
         acc = self.identity_planes(lanes)
 
-        def gather_rows(flat_idx):
-            rows = jnp.take(table, flat_idx, axis=0)  # (L, 2·K·R8+1) u8
-            rf = rows.astype(F32).T
-            return rf
+        # width-pad once per call (in-jit; ~bandwidth-free) so gathered
+        # blocks feed the in-kernel decode directly
+        table_p = jnp.pad(table, ((0, 0), (0, self.rows_w - table.shape[1])))
 
-        def decode(rf):
-            return (
-                rf[:KR],
-                rf[KR : 2 * KR],
-                rf[2 * KR : 2 * KR + 1] * one_col,
-            )
+        def gather_rows(flat_idx):
+            return jnp.take(table_p, flat_idx, axis=0)  # (L, rows_w) u8
+
+        # flat 1-D perm gather: take_along_axis on (W, N) lowers to a
+        # minor-axis lane gather (~42 ns/idx measured — 3.4 ms/step at
+        # 81920 lanes); the flat row-style gather is ~10x cheaper
+        perm_flat = perm.reshape(W * n)
+        win_base = (
+            jnp.arange(lanes, dtype=jnp.int32) // nb
+        ) * n  # window offset per lane
 
         def step_idx(i):
             pos = jnp.minimum(start_f + i, n - 1)  # (lanes,)
-            return jnp.take_along_axis(
-                perm, pos.reshape(W, nb).astype(jnp.uint32), axis=1
-            ).reshape(lanes)
+            return jnp.take(perm_flat, win_base + pos)
 
         # software-pipelined scan: the gather for step i+1 is issued before
         # the fused adds of step i consume the previous gather, so XLA's
@@ -284,11 +291,15 @@ class PlaneMsm:
             return state[0] < max_len
 
         def body(state):
-            i, aX, aY, aZ, rf = state
-            rf_next = gather_rows(step_idx(i + 1))
+            i, aX, aY, aZ, rows = state
+            rows_next = gather_rows(step_idx(i + 1))
+            # the row flag joins the bucket mask IN-KERNEL: identity rows
+            # (padding or genuinely-zero query points) are skipped, which
+            # IS adding the identity — required because the mixed add has
+            # no affine encoding for it
             mask = (i < eff_len).reshape(1, lanes).astype(F32)
-            aX, aY, aZ = self._masked_step((aX, aY, aZ), decode(rf), mask)
-            return i + 1, aX, aY, aZ, rf_next
+            aX, aY, aZ = self.mixed_madd_rows(aX, aY, aZ, rows, mask)
+            return i + 1, aX, aY, aZ, rows_next
 
         rf0 = gather_rows(step_idx(jnp.int32(0)))
         _, bX, bY, bZ, _ = jax.lax.while_loop(
@@ -301,7 +312,6 @@ class PlaneMsm:
             sp_start = jnp.take(start_f, top_idx) + T1
             sp_len = jnp.where(spilled_k, top_vals - T1, 0)
             sp_win = (top_idx // nb).astype(jnp.uint32)  # window of each lane
-            perm_flat = perm.reshape(W * n)
             sp_max = jnp.max(sp_len)
             sacc = self.identity_planes(S)
 
@@ -313,11 +323,11 @@ class PlaneMsm:
                 return state[0] < sp_max
 
             def sp_body(state):
-                j, aX, aY, aZ, rf = state
-                rf_next = gather_rows(sp_idx(j + 1))
+                j, aX, aY, aZ, rows = state
+                rows_next = gather_rows(sp_idx(j + 1))
                 mask = (j < sp_len).reshape(1, S).astype(F32)
-                aX, aY, aZ = self._masked_step((aX, aY, aZ), decode(rf), mask)
-                return j + 1, aX, aY, aZ, rf_next
+                aX, aY, aZ = self.mixed_madd_rows(aX, aY, aZ, rows, mask)
+                return j + 1, aX, aY, aZ, rows_next
 
             _, sX, sY, sZ, _ = jax.lax.while_loop(
                 sp_cond, sp_body, (jnp.int32(0), *sacc, gather_rows(sp_idx(jnp.int32(0))))

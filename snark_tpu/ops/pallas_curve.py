@@ -224,6 +224,38 @@ def _add_body(F, P, Q):
     return X3, Y3, Z3
 
 
+def _madd_mixed_body(F, P, Q):
+    """RCB15 Alg 8 (a = 0) complete MIXED add: Q = (X2, Y2) affine (Z2 = 1).
+
+    Complete for every projective P and affine Q (doubling and inverse
+    included); Q = identity must be masked out by the caller (affine has
+    no identity encoding) — in the MSM scan the row flag joins the bucket
+    mask. One var-mul and one reduce cheaper than the projective add, and
+    both Q coordinates arrive as u8-canonical digits (<= 255).
+
+    Value/digit ledger (units of p, same envelope as _add_body): t0, t1,
+    m4 <= 3.07; t4 = Y2·Z1 + Y1, y3p = X2·Z1 + X1 <= 6.14 (digits <= 512);
+    t3 via K21; t1' via K4; all conv sums <= 2^23.4 (exact in f32).
+    """
+    X1, Y1, Z1 = P
+    X2, Y2 = Q
+    t0 = F.mul(X1, X2)
+    t1 = F.mul(Y1, Y2)
+    m4 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
+    t3 = F.sub(m4, F.add(t0, t1), 21)
+    t4 = F.add(F.mul(Y2, Z1), Y1)
+    y3p = F.add(F.mul(X2, Z1), X1)
+    t0p = F.triple(t0)
+    t2p = F.cmul_b3(Z1)
+    y3 = F.cmul_b3(F.norm(y3p))
+    z3p = F.add(t1, t2p)
+    t1p = F.sub(t1, t2p, 4)
+    X3 = F.mul_pair(t3, t1p, t4, y3, sign2=-1.0)
+    Y3 = F.mul_pair(t1p, z3p, y3, t0p)
+    Z3 = F.mul_pair(z3p, t4, t0p, t3)
+    return X3, Y3, Z3
+
+
 def _double_body(F, P):
     """RCB15 Alg 9 (a = 0) complete double over a field adapter."""
     X, Y, Z = P
@@ -300,11 +332,21 @@ def _make_pointwise(
     interpret: bool | None,
     masked: bool = False,
     group: str = "g1",
+    mixed: bool = False,
+    rows_width: int | None = None,
 ):
     """Build a pallas_call over (K·R8, N) coordinate planes.
 
     body_arity = 2 -> add(P, Q); 1 -> double(P).
     masked (add only): extra (1, N) f32 mask input; out = mask ? P+Q : P.
+    mixed (masked add only): Q is affine (X2, Y2) — 5 coordinate inputs;
+    the caller's mask must already include the identity-row flag.
+    rows_width (mixed only): Q arrives as ONE (N, rows_width) uint8 row
+    block (X digits ‖ Y digits ‖ flag ‖ pad) — the MSM gather layout —
+    and the cast + transpose to digit planes happens IN-KERNEL (the
+    separate XLA u8->f32 transpose of unaligned 69/137-byte rows costs
+    ~1.9 ms per scan step at 81920 lanes, measured); the identity flag
+    row joins the mask in-kernel.
     interpret = None -> auto: interpret iff the default backend is CPU
     (Mosaic cannot compile there; tests and host-only runs just work).
     """
@@ -323,7 +365,12 @@ def _make_pointwise(
         mb3_cs = [jnp.asarray(m).astype(BF16) for m in pc.M_B3_G2]
     n_mb3 = len(mb3_cs)
 
-    n_coords = 3 * body_arity + (1 if masked else 0)
+    use_rows = rows_width is not None
+    if use_rows:
+        assert mixed and masked and body_arity == 2
+        assert rows_width >= 2 * K * R8 + 1
+    n_q = (1 if use_rows else 2 if mixed else 3) if body_arity == 2 else 0
+    n_coords = 3 + n_q + (1 if masked else 0) if body_arity == 2 else 3
 
     def kernel(*refs):
         mnp, mp = refs[0][...], refs[1][...]
@@ -335,11 +382,20 @@ def _make_pointwise(
         t_ref = refs[-1]
         mb3 = mb3_v[0] if group == "g1" else tuple(mb3_v)
         F = pc.field_ctx(group, t_ref, mnp, mp, mb3, cols)
+        KR = K * R8
         if body_arity == 2:
-            P, Q = tuple(ins[:3]), tuple(ins[3:6])
-            X3, Y3, Z3 = _add_body(F, P, Q)
+            P = tuple(ins[:3])
+            m = ins[-1] if masked else None  # (1, T) in {0, 1}
+            if use_rows:
+                # Mosaic has no direct u8->f32 cast; hop through int32
+                rf = jnp.transpose(ins[3].astype(jnp.int32).astype(F32))
+                X3, Y3, Z3 = _madd_mixed_body(F, P, (rf[:KR], rf[KR : 2 * KR]))
+                m = m * rf[2 * KR : 2 * KR + 1]
+            elif mixed:
+                X3, Y3, Z3 = _madd_mixed_body(F, P, tuple(ins[3:5]))
+            else:
+                X3, Y3, Z3 = _add_body(F, P, tuple(ins[3:6]))
             if masked:
-                m = ins[6]  # (1, T) in {0, 1}
                 X3 = m * X3 + (1.0 - m) * P[0]
                 Y3 = m * Y3 + (1.0 - m) * P[1]
                 Z3 = m * Z3 + (1.0 - m) * P[2]
@@ -363,9 +419,17 @@ def _make_pointwise(
         const_specs.append(pl.BlockSpec((7, R8), lambda i: (0, 0)))
         data_specs = [
             pl.BlockSpec((K * R8, tile), lambda i: (0, i))
-        ] * (3 * body_arity)
+        ] * 3
+        if use_rows:
+            data_specs.append(pl.BlockSpec((tile, rows_width), lambda i: (i, 0)))
+        else:
+            data_specs += [
+                pl.BlockSpec((K * R8, tile), lambda i: (0, i))
+            ] * n_q
         if masked:
             data_specs.append(pl.BlockSpec((1, tile), lambda i: (0, i)))
+        if body_arity == 1:
+            data_specs = [pl.BlockSpec((K * R8, tile), lambda i: (0, i))] * 3
         out_spec = pl.BlockSpec((K * R8, tile), lambda i: (0, i))
         return pl.pallas_call(
             kernel,
@@ -406,6 +470,46 @@ def make_masked_add(
     """
     return _make_pointwise(
         get_plane_curve(curve), 2, tile, interpret, masked=True, group=group
+    )
+
+
+def make_masked_mixed_add(
+    curve: CurveParams, tile: int = 256, interpret: bool | None = None, group: str = "g1"
+):
+    """(P, X2, Y2, mask) -> mask ? P+(X2,Y2) : P — affine Q (RCB15 Alg 8).
+
+    The MSM bucket scan's hot step: gathered table rows are affine, so
+    the Z2 product and one reduce disappear. The mask must be 0 wherever
+    the gathered row is an identity (row flag) — the scan folds the flag
+    into the bucket mask.
+    """
+    return _make_pointwise(
+        get_plane_curve(curve), 2, tile, interpret, masked=True, group=group,
+        mixed=True,
+    )
+
+
+def rows_pad_width(curve: CurveParams, group: str = "g1") -> int:
+    """u8 row width padded for the in-kernel decode (multiple of 8
+    sublanes >= 2·K·R8+1)."""
+    pc = get_plane_curve(curve)
+    K = 1 if group == "g1" else 2
+    w = 2 * K * pc.R8 + 1
+    return -(-w // 8) * 8
+
+
+def make_masked_mixed_add_rows(
+    curve: CurveParams, tile: int = 256, interpret: bool | None = None, group: str = "g1"
+):
+    """(P, rows_u8, mask) -> mask·flag ? P+(X2,Y2) : P.
+
+    rows_u8 is the (N, rows_pad_width) gathered table block; u8->f32 cast,
+    transpose to digit planes, and the identity-flag masking all happen
+    inside the kernel (VMEM), killing the per-step XLA transpose.
+    """
+    return _make_pointwise(
+        get_plane_curve(curve), 2, tile, interpret, masked=True, group=group,
+        mixed=True, rows_width=rows_pad_width(curve, group),
     )
 
 

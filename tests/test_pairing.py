@@ -47,3 +47,28 @@ def test_pairing_identity_inputs(curve):
     g1, g2 = host_g1(curve), host_g2(curve)
     assert pr.fq12.is_one(pr.pairing(None, g2.generator))
     assert pr.fq12.is_one(pr.pairing(g1.generator, None))
+
+
+def test_production_vs_generic_paths():
+    """The twisted sparse-line Miller loop + Shamir final exponentiation
+    must equal the generic untwisted/affine + square-and-multiply oracle
+    on random inputs (VERDICT r1 item 9)."""
+    import random
+
+    from snark_tpu.fields import BLS12_381, BN254
+    from snark_tpu.groth16.pairing import get_pairing
+    from snark_tpu.ops.curve_host import host_g1, host_g2
+
+    for curve in (BN254, BLS12_381):
+        pe = get_pairing(curve)
+        hg1, hg2 = host_g1(curve), host_g2(curve)
+        rng = random.Random(17)
+        for _ in range(2):
+            P = hg1.scalar_mul(hg1.generator, rng.randrange(curve.fr.modulus))
+            Q = hg2.scalar_mul(
+                curve.g2_generator, rng.randrange(curve.fr.modulus)
+            )
+            assert pe.pairing(P, Q) == pe.pairing_generic(P, Q)
+        # identity edge cases
+        assert pe.pairing(None, Q) == pe.fq12.one
+        assert pe.pairing(P, None) == pe.fq12.one
