@@ -53,18 +53,52 @@ def bench_batch_chain(n: int) -> float:
     return dt
 
 
+def bench_native(n: int) -> tuple[float, float]:
+    """The C++ engine end-to-end on the bench.rs workload: random-LC
+    generation + interning + columnar storage (lc_synth_random), then the
+    native inline pass — the TPU-first production path for synthesis at
+    scale (VERDICT r1 item 8)."""
+    from snark_tpu.relations.native import NativeInliner, NativeSynthesizer
+
+    p = BLS12_381_FR.modulus
+    ns = NativeSynthesizer(p)
+    ni = NativeInliner(p)
+    t0 = time.perf_counter()
+    off, vars_, cids, vals, argv = ns.synthesize(
+        n, NUM_COEFFS_IN_LC, seed=0, num_vars=max(64, n // 4)
+    )
+    t_synth = time.perf_counter() - t0
+    import numpy as np
+
+    t0 = time.perf_counter()
+    pre = np.zeros((2, 4), dtype=np.uint64)
+    pre[0, 0] = 1
+    pm1 = p - 1
+    pre[1] = [(pm1 >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(4)]
+    ni.inline_raw(off, vars_, cids, np.concatenate([pre, vals], axis=0))
+    t_inline = time.perf_counter() - t0
+    return t_synth, t_inline
+
+
 def main():
     log_n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     n = 1 << log_n
     dt1 = bench(n, finalize=True)
     print(f"random-LC synthesis 2^{log_n} with finalize:    {dt1:8.3f} s "
-          f"({n/dt1:,.0f} constraints/s)")
+          f"({n/dt1:,.0f} constraints/s)", flush=True)
     dt2 = bench(n, finalize=False, construct_matrices=False)
     print(f"random-LC synthesis 2^{log_n} no finalize/mats: {dt2:8.3f} s "
-          f"({n/dt2:,.0f} constraints/s)")
+          f"({n/dt2:,.0f} constraints/s)", flush=True)
     dt3 = bench_batch_chain(n)
     print(f"batch-API a*b=c chain 2^{log_n} + finalize:     {dt3:8.3f} s "
-          f"({n/dt3:,.0f} constraints/s)")
+          f"({n/dt3:,.0f} constraints/s)", flush=True)
+    try:
+        ts, ti = bench_native(n)
+        print(f"native-engine random-LC 2^{log_n}: synth {ts:7.3f} s "
+              f"({n/ts:,.0f} c/s) + inline {ti:7.3f} s "
+              f"({n/ti:,.0f} c/s)", flush=True)
+    except RuntimeError as e:
+        print(f"native engine unavailable: {e}")
 
 
 if __name__ == "__main__":

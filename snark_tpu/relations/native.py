@@ -66,6 +66,17 @@ def get_lib():
         ]
         lib.lc_inline_free.argtypes = [ctypes.c_void_p]
         lib.lc_field_init.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.lc_synth_random.restype = ctypes.c_void_p
+        lib.lc_synth_random.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_uint64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        for name in ("lc_synth_num_lcs", "lc_synth_nnz", "lc_synth_num_values"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p]
+        lib.lc_synth_fetch.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 5
+        lib.lc_synth_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return _LIB
 
@@ -127,6 +138,33 @@ class NativeInliner:
             self.lib.lc_inline_free(handle)
         return out_off, out_vars, _from_u64x4(out_coeffs)
 
+    def inline_raw(self, offsets, vars_, coeff_ids, values_u64x4):
+        """Like inline(), but coefficients in/out stay (m, 4) u64 numpy —
+        no Python bigint round-trips (they dominate at 2^23 scale)."""
+        n = len(offsets) - 1
+        offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        vars_ = np.ascontiguousarray(vars_, dtype=np.uint64)
+        coeff_ids = np.ascontiguousarray(coeff_ids, dtype=np.uint32)
+        vals = np.ascontiguousarray(values_u64x4, dtype=np.uint64)
+        handle = self.lib.lc_inline_run(
+            self._ctx, n, offsets.ctypes.data, vars_.ctypes.data,
+            coeff_ids.ctypes.data, vals.shape[0], vals.ctypes.data,
+        )
+        if not handle:
+            raise RuntimeError("native inline failed")
+        try:
+            nnz = self.lib.lc_inline_nnz(handle)
+            out_off = np.zeros(n + 1, dtype=np.int64)
+            out_vars = np.zeros(nnz, dtype=np.uint64)
+            out_coeffs = np.zeros((nnz, 4), dtype=np.uint64)
+            self.lib.lc_inline_fetch(
+                self._ctx, handle, out_off.ctypes.data,
+                out_vars.ctypes.data, out_coeffs.ctypes.data,
+            )
+        finally:
+            self.lib.lc_inline_free(handle)
+        return out_off, out_vars, out_coeffs
+
 
 _INLINERS: dict[int, NativeInliner | None] = {}
 
@@ -138,3 +176,42 @@ def get_inliner(modulus: int) -> NativeInliner | None:
         except Exception:
             _INLINERS[modulus] = None
     return _INLINERS[modulus]
+
+
+class NativeSynthesizer:
+    """Native random-LC synthesis (the bench.rs workload; VERDICT r1 item
+    8): generates, interns and stores n x 3 random LCs in C++, returning
+    columnar CSR buffers that match the LcMap/interner layout."""
+
+    def __init__(self, modulus: int):
+        self.lib = get_lib()
+        if self.lib is None:
+            raise RuntimeError("native engine unavailable")
+        self.modulus = modulus
+        self._ctx = ctypes.create_string_buffer(self.lib.lc_field_ctx_size())
+        self.lib.lc_field_init(self._ctx, _to_u64x4([modulus]).ctypes.data)
+
+    def synthesize(self, n: int, terms: int, seed: int, num_vars: int,
+                   lc_base: int = 1, id_base: int = 2):
+        h = self.lib.lc_synth_random(
+            self._ctx, n, terms, seed, num_vars, lc_base, id_base
+        )
+        if not h:
+            raise RuntimeError("native synthesis failed")
+        try:
+            num_lcs = self.lib.lc_synth_num_lcs(h)
+            nnz = self.lib.lc_synth_nnz(h)
+            num_vals = self.lib.lc_synth_num_values(h)
+            offsets = np.zeros(num_lcs + 1, dtype=np.int64)
+            vars_ = np.zeros(nnz, dtype=np.uint64)
+            coeff_ids = np.zeros(nnz, dtype=np.uint32)
+            values = np.zeros((num_vals, 4), dtype=np.uint64)
+            arg_vars = np.zeros(3 * n, dtype=np.uint64)
+            self.lib.lc_synth_fetch(
+                h, offsets.ctypes.data, vars_.ctypes.data,
+                coeff_ids.ctypes.data, values.ctypes.data,
+                arg_vars.ctypes.data,
+            )
+        finally:
+            self.lib.lc_synth_free(h)
+        return offsets, vars_, coeff_ids, values, arg_vars

@@ -107,3 +107,44 @@ def test_native_through_finalize():
     cs2.finalize()  # native (threshold exceeded)
     assert cs1.to_matrices() == cs2.to_matrices()
     assert cs1.is_satisfied() and cs2.is_satisfied()
+
+
+def test_native_synthesizer_layout():
+    """Native random-LC synthesis: layout + field invariants + inliner
+    round-trip (the bench.rs workload in C++; VERDICT r1 item 8)."""
+    import numpy as np
+
+    from snark_tpu.fields import BLS12_381_FR
+    from snark_tpu.relations.native import (
+        NativeInliner,
+        NativeSynthesizer,
+        _from_u64x4,
+    )
+
+    p = BLS12_381_FR.modulus
+    try:
+        ns = NativeSynthesizer(p)
+    except RuntimeError:
+        import pytest
+
+        pytest.skip("native engine unavailable")
+    n = 500
+    off, vars_, cids, vals, argv = ns.synthesize(n, 10, seed=3, num_vars=128)
+    assert len(argv) == 3 * n
+    assert off[0] == 0 and off[-1] == len(vars_) == len(cids)
+    vv = _from_u64x4(vals)
+    assert all(0 < v < p for v in vv)
+    assert len(set(vv)) == len(vv)  # interner dedup
+    assert ((vars_ >> np.uint64(61)) == 3).all()  # witness handles
+    # ids reference the table (offset by id_base=2 for pre-interned 1, -1)
+    assert cids.min() >= 2 and cids.max() < 2 + len(vv)
+    ni = NativeInliner(p)
+    pre = np.zeros((2, 4), dtype=np.uint64)
+    pre[0, 0] = 1
+    for i in range(4):
+        pre[1, i] = ((p - 1) >> (64 * i)) & 0xFFFFFFFFFFFFFFFF
+    o2, v2, c2 = ni.inline_raw(off, vars_, cids, np.concatenate([pre, vals]))
+    # no symbolic-LC refs in the input -> inlining is an identity modulo
+    # compactify (sort + merge)
+    assert len(o2) == len(off)
+    assert o2[-1] <= off[-1]
