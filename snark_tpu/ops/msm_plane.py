@@ -71,8 +71,18 @@ class PlaneMsm:
         self.tile = tile
         self.signed = signed
         self.madd = make_masked_add(curve, tile, interpret, group=group)
+        import os
+
+        # scan depth per kernel dispatch: each while-loop step gathers
+        # k_steps rows per lane and the kernel chains k_steps masked adds
+        # before the accumulator round-trips (amortizes acc DMA + launch).
+        # Measured on v5e at c=13: k=4 wins for short scans (2^16: 0.26 ->
+        # 0.20 s) where per-dispatch overhead dominates, k=1 wins at 2^20
+        # (18.8 vs 17.2 M adds/s) where the kernel is compute-bound and
+        # batching only adds trip-count round-up waste.
+        self.k_steps = int(os.environ.get("SNARK_TPU_MSM_K", "1"))
         self.mixed_madd_rows = make_masked_mixed_add_rows(
-            curve, tile, interpret, group=group
+            curve, tile, interpret, group=group, k_steps=self.k_steps
         )
         self.rows_w = rows_pad_width(curve, group)
         self.add = make_point_add(curve, tile, interpret, group=group)
@@ -127,8 +137,6 @@ class PlaneMsm:
         self.BUCKET0 = (slot < mult).reshape(1, W * nb)
         # spill lanes (load balancing; see _window_sums_impl): a multiple of
         # tile, ~10% of the main lanes, 0 disables
-        import os
-
         sl = os.environ.get("SNARK_TPU_MSM_SPILL")
         if sl is not None:
             self.spill_lanes = int(sl)
@@ -267,8 +275,13 @@ class PlaneMsm:
         # blocks feed the in-kernel decode directly
         table_p = jnp.pad(table, ((0, 0), (0, self.rows_w - table.shape[1])))
 
-        def gather_rows(flat_idx):
-            return jnp.take(table_p, flat_idx, axis=0)  # (L, rows_w) u8
+        KS = self.k_steps
+        offs = jnp.arange(KS, dtype=jnp.int32)
+
+        def gather_rows(idx2):
+            # idx2 (lanes, KS) -> (lanes, KS·rows_w) u8, lane-major
+            flat = jnp.take(table_p, idx2.reshape(-1), axis=0)
+            return flat.reshape(idx2.shape[0], KS * self.rows_w)
 
         # flat 1-D perm gather: take_along_axis on (W, N) lowers to a
         # minor-axis lane gather (~42 ns/idx measured — 3.4 ms/step at
@@ -279,27 +292,26 @@ class PlaneMsm:
         ) * n  # window offset per lane
 
         def step_idx(i):
-            pos = jnp.minimum(start_f + i, n - 1)  # (lanes,)
-            return jnp.take(perm_flat, win_base + pos)
+            pos = jnp.minimum(start_f[:, None] + (i + offs)[None, :], n - 1)
+            return jnp.take(perm_flat, win_base[:, None] + pos)
 
-        # software-pipelined scan: the gather for step i+1 is issued before
-        # the fused adds of step i consume the previous gather, so XLA's
-        # latency-hiding scheduler overlaps the row gather with the Pallas
-        # kernel (measured ~2 ms/step at 81920 lanes; scripts/
-        # bench_scan_overlap.py)
+        # software-pipelined scan: the gather for the NEXT k_steps block is
+        # issued before the fused adds consume the previous gather, so
+        # XLA's latency-hiding scheduler overlaps the row gather with the
+        # Pallas kernel (scripts/bench_scan_overlap.py)
         def cond(state):
             return state[0] < max_len
 
         def body(state):
             i, aX, aY, aZ, rows = state
-            rows_next = gather_rows(step_idx(i + 1))
+            rows_next = gather_rows(step_idx(i + KS))
             # the row flag joins the bucket mask IN-KERNEL: identity rows
             # (padding or genuinely-zero query points) are skipped, which
             # IS adding the identity — required because the mixed add has
             # no affine encoding for it
-            mask = (i < eff_len).reshape(1, lanes).astype(F32)
+            mask = ((i + offs)[:, None] < eff_len[None, :]).astype(F32)
             aX, aY, aZ = self.mixed_madd_rows(aX, aY, aZ, rows, mask)
-            return i + 1, aX, aY, aZ, rows_next
+            return i + KS, aX, aY, aZ, rows_next
 
         rf0 = gather_rows(step_idx(jnp.int32(0)))
         _, bX, bY, bZ, _ = jax.lax.while_loop(
@@ -316,18 +328,21 @@ class PlaneMsm:
             sacc = self.identity_planes(S)
 
             def sp_idx(j):
-                pos = jnp.minimum(sp_start + j, n - 1)
-                return jnp.take(perm_flat, sp_win * n + pos.astype(jnp.uint32))
+                pos = jnp.minimum(sp_start[:, None] + (j + offs)[None, :], n - 1)
+                return jnp.take(
+                    perm_flat,
+                    (sp_win * n)[:, None] + pos.astype(jnp.uint32),
+                )
 
             def sp_cond(state):
                 return state[0] < sp_max
 
             def sp_body(state):
                 j, aX, aY, aZ, rows = state
-                rows_next = gather_rows(sp_idx(j + 1))
-                mask = (j < sp_len).reshape(1, S).astype(F32)
+                rows_next = gather_rows(sp_idx(j + KS))
+                mask = ((j + offs)[:, None] < sp_len[None, :]).astype(F32)
                 aX, aY, aZ = self.mixed_madd_rows(aX, aY, aZ, rows, mask)
-                return j + 1, aX, aY, aZ, rows_next
+                return j + KS, aX, aY, aZ, rows_next
 
             _, sX, sY, sZ, _ = jax.lax.while_loop(
                 sp_cond, sp_body, (jnp.int32(0), *sacc, gather_rows(sp_idx(jnp.int32(0))))

@@ -39,7 +39,7 @@ from .pallas_field_v3 import BF16, F32, PlaneFieldV3, sweep3
 
 EXTRA_DIGITS = 2
 
-_CARRY, _P2, _K4, _K84 = range(4)
+_CARRY, _P2, _K4, _K84, _RMP = range(5)
 
 
 def _bit_reverse_indices(n: int) -> np.ndarray:
@@ -62,27 +62,23 @@ class _Kernels:
         self.R8 = R8
         self.tile = tile
         p = params.modulus
-        mnp_c = jnp.asarray(pf.M_NP).astype(BF16)
-        mp_c = jnp.asarray(pf.M_P).astype(BF16)
+        # (R8, 5) constant columns; all band "matmuls" are compile-time
+        # scalar-digit convolutions (see pallas_field_v3.conv_const)
         cols = np.concatenate(
-            [pf.CARRY_SCALE, pf.KP_COLS[2], pf.KP_COLS[4], pf.KP_COLS[84]],
+            [
+                pf.CARRY_SCALE,
+                pf.KP_COLS[2],
+                pf.KP_COLS[4],
+                pf.KP_COLS[84],
+                pf.RMP_COL,
+            ],
             axis=1,
-        ).T.astype(np.float32)
+        ).astype(np.float32)
         cols_c = jnp.asarray(cols)
-        one_band = jnp.asarray(pf.const_band(1)).astype(BF16)  # x -> x/R (std)
 
-        const_specs = [
-            pl.BlockSpec((R8, R8), lambda i: (0, 0)),
-            pl.BlockSpec((2 * R8, R8), lambda i: (0, 0)),
-            pl.BlockSpec((4, R8), lambda i: (0, 0)),
-        ]
+        const_specs = [pl.BlockSpec((R8, 5), lambda i: (0, 0))]
 
-        def build(kernel, n_in, n_out, extra_consts=()):
-            ecs = [jnp.asarray(e) for e in extra_consts]
-            e_specs = [
-                pl.BlockSpec(tuple(e.shape), lambda i: (0, 0)) for e in ecs
-            ]
-
+        def build(kernel, n_in, n_out):
             @jax.jit
             def run(*arrs):
                 n = arrs[0].shape[-1]
@@ -95,33 +91,32 @@ class _Kernels:
                         for _ in range(n_out)
                     ),
                     grid=(n // tile,),
-                    in_specs=const_specs + e_specs + [ds] * n_in,
+                    in_specs=const_specs + [ds] * n_in,
                     out_specs=tuple([pl.BlockSpec((R8, tile), lambda i: (0, i))] * n_out),
                     scratch_shapes=[pltpu.VMEM((2 * R8, tile), F32)],
                     interpret=interpret,
-                )(mnp_c, mp_c, cols_c, *ecs, *arrs)
+                )(cols_c, *arrs)
 
             return run
 
-        def ctx(refs, n_extra=0):
-            mnp, mp, cols = refs[0][...], refs[1][...], refs[2][...]
-            extras = [refs[3 + i][...] for i in range(n_extra)]
+        def ctx(refs):
+            cols = refs[0][...]
             t_ref = refs[-1]
-            carry = cols[_CARRY, :][:, None]
-            p2 = cols[_P2, :][:, None]
-            k4 = cols[_K4, :][:, None]
-            k84 = cols[_K84, :][:, None]
+            carry = cols[:, _CARRY : _CARRY + 1]
+            p2 = cols[:, _P2 : _P2 + 1]
+            k4 = cols[:, _K4 : _K4 + 1]
+            k84 = cols[:, _K84 : _K84 + 1]
 
             def mul(a, b):
-                return pf.mont_mul(a, b, t_ref, mnp, mp, carry, plus_p=p2)
+                return pf.mont_mul(a, b, t_ref, carry, plus_p=p2)
 
-            return mnp, mp, extras, t_ref, carry, p2, k4, k84, mul
+            return cols, t_ref, carry, p2, k4, k84, mul
 
         # --- DIT butterfly: (lo, hi, tw) -> (lo + hi·tw, lo - hi·tw) ----
         def dit_kernel(*refs):
             *_, k4, _k84, mul = ctx(refs)
-            lo, hi, tw = (r[...] for r in refs[3:6])
-            o = refs[6:8]
+            lo, hi, tw = (r[...] for r in refs[1:4])
+            o = refs[4:6]
             t = mul(hi, tw)
             o[0][...] = sweep3(lo + t)
             o[1][...] = sweep3((lo - t) + k4)
@@ -131,8 +126,8 @@ class _Kernels:
         # --- DIF butterfly: (lo, hi, tw) -> (lo + hi, (lo - hi)·tw) -----
         def dif_kernel(*refs):
             *_, _k4, k84, mul = ctx(refs)
-            lo, hi, tw = (r[...] for r in refs[3:6])
-            o = refs[6:8]
+            lo, hi, tw = (r[...] for r in refs[1:4])
+            o = refs[4:6]
             o[0][...] = sweep3(lo + hi)
             o[1][...] = mul(sweep3((lo - hi) + k84), tw)
 
@@ -141,64 +136,52 @@ class _Kernels:
         # --- vector Montgomery mul: (x, y) -> x·y ------------------------
         def vmul_kernel(*refs):
             *_, mul = ctx(refs)
-            x, y = refs[3][...], refs[4][...]
-            refs[5][...] = mul(x, y)
+            x, y = refs[1][...], refs[2][...]
+            refs[3][...] = mul(x, y)
 
         self.vmul = build(vmul_kernel, 2, 1)
 
         # --- Hadamard + 1/Z_H: (a, b, c) -> (a·b - c)·zinv ---------------
-        z_band_holder = []
+        def make_hadamard(z_inv_mont: int):
+            zd = pf.digits_list(z_inv_mont)
 
-        def hadamard_kernel(*refs):
-            mnp, mp, extras, t_ref, carry, p2, _k4, k84, mul = ctx(refs, 1)
-            (mz,) = extras
-            a, b, c = (r[...] for r in refs[4:7])
-            ab = mul(a, b)
-            num = sweep3((ab - c) + k84)
-            refs[7][...] = pf.mul_const(num, mz, mnp, mp, carry, plus_p=p2)
+            def hadamard_kernel(*refs):
+                _cols, t_ref, carry, p2, _k4, k84, mul = ctx(refs)
+                a, b, c = (r[...] for r in refs[1:4])
+                ab = mul(a, b)
+                num = sweep3((ab - c) + k84)
+                refs[4][...] = pf.mul_const(num, zd, t_ref, carry, plus_p=p2)
 
-        self._hadamard_build = lambda z_band: build(
-            hadamard_kernel, 3, 1, extra_consts=[z_band.astype(jnp.bfloat16)]
-        )
+            return build(hadamard_kernel, 3, 1)
+
+        self._hadamard_build = make_hadamard
 
         # --- re-Montgomery: std digit planes of v = x·R_old -> x·R' planes
-        # (ingestion from the legacy narrow-R device field: one MXU pass)
+        # (ingestion from the legacy narrow-R device field)
         c_remont = pf.r_eff * pf.r_eff % p * pow(params.r, -1, p) % p
+        remont_d = pf.digits_list(c_remont)
 
         def remont_kernel(*refs):
-            mnp, mp, extras, t_ref, carry, p2, _k4, _k84, mul = ctx(refs, 1)
-            (mc,) = extras
-            x = refs[4][...]
-            refs[5][...] = pf.mul_const(x, mc, mnp, mp, carry, plus_p=p2)
+            _cols, t_ref, carry, p2, _k4, _k84, mul = ctx(refs)
+            x = refs[1][...]
+            refs[2][...] = pf.mul_const(x, remont_d, t_ref, carry, plus_p=p2)
 
-        self.remont = build(
-            remont_kernel,
-            1,
-            1,
-            extra_consts=[jnp.asarray(pf.const_band(c_remont)).astype(BF16)],
-        )
+        self.remont = build(remont_kernel, 1, 1)
 
         # --- to-standard canonical: x (wide mont) -> canonical std digits
+        one_d = pf.digits_list(1)
+
         def tostd_kernel2(*refs):
-            mnp, mp, extras, t_ref, carry, p2, _k4, _k84, mul = ctx(refs, 2)
-            m_one, rmp = extras
-            rmp_col = rmp[0, :][:, None]
-            x = refs[5][...]
-            std = pf.mul_const(x, m_one, mnp, mp, carry, plus_p=p2)
+            cols, t_ref, carry, p2, _k4, _k84, mul = ctx(refs)
+            rmp_col = cols[:, _RMP : _RMP + 1]
+            x = refs[1][...]
+            std = pf.mul_const(x, one_d, t_ref, carry, plus_p=p2)
             out = pf._strict(std)
             for _ in range(3):
                 out = pf.cond_sub_p(out, rmp_col)
-            refs[6][...] = out
+            refs[2][...] = out
 
-        self.tostd = build(
-            tostd_kernel2,
-            1,
-            1,
-            extra_consts=[
-                one_band,
-                np.asarray(pf.RMP_COL.T, dtype=np.float32),
-            ],
-        )
+        self.tostd = build(tostd_kernel2, 1, 1)
 
 
 @functools.lru_cache(maxsize=None)
@@ -277,9 +260,7 @@ class PlaneNtt:
 
         z_coset = (pow(g, n, p) - 1) % p
         z_inv_mont = pow(z_coset, -1, p) * pf.r_eff % p
-        self.hadamard = self.k._hadamard_build(
-            jnp.asarray(pf.const_band(z_inv_mont))
-        )
+        self.hadamard = self.k._hadamard_build(z_inv_mont)
         self._h_jit = jax.jit(self._h_impl)
         self._fft_jit = jax.jit(functools.partial(self._fft_natural, inv=False))
         self._ifft_jit = jax.jit(functools.partial(self._fft_natural, inv=True))

@@ -51,49 +51,65 @@ from .pallas_field_v3 import BF16, F32, PlaneFieldV3, _sweep, sweep3
 
 EXTRA_DIGITS = 2
 
-# COLS row indices (f32 constant columns shipped to the kernel)
+# COLS column indices (f32 constant columns shipped to the kernel as one
+# (R8, 7) array — column extraction is a slice, never a lane->sublane
+# transpose)
 _CARRY, _P2, _K4, _K7, _K10, _K11, _K21 = range(7)
-_KROW = {4: _K4, 7: _K7, 10: _K10, 11: _K11, 21: _K21}
+_KCOL = {4: _K4, 7: _K7, 10: _K10, 11: _K11, 21: _K21}
 
 
 class _G1Field:
-    """Fq plane ops bound to one kernel invocation (t_ref + consts)."""
+    """Fq plane ops bound to one kernel invocation (t_ref + consts).
+
+    mnp/mp/mb3 (bf16 band refs) select the MXU backend for the constant
+    multiplies of every Montgomery reduce — inside the fused curve kernels
+    the matmuls of one reduce overlap the VPU conv/sweep work of the other
+    muls, so they are effectively free (measured: MXU beats the VPU
+    scalar-conv backend 18.9 vs 14.2 M MSM adds/s at 2^20). Pass None to
+    fall back to pure-VPU scalar convs (what serial-mul kernels want).
+    """
 
     K = 1
 
-    def __init__(self, pf, t_ref, mnp, mp, mb3, cols):
+    def __init__(self, pf, t_ref, b3_digits, cols, mnp=None, mp=None, mb3=None):
         self.pf = pf
         self.t_ref = t_ref
+        self.b3_digits = b3_digits  # compile-time digit tuple of 3b·R
         self.mnp = mnp
         self.mp = mp
-        self.mb3 = mb3  # single (2R8, R8) band for b3
-        self.carry = cols[_CARRY, :][:, None]
-        self.p2 = cols[_P2, :][:, None]
+        self.mb3 = mb3
+        self.carry = cols[:, _CARRY : _CARRY + 1]
+        self.p2 = cols[:, _P2 : _P2 + 1]
         self.cols = cols
 
     def kp(self, k):
-        return self.cols[_KROW[k], :][:, None]
+        c = _KCOL[k]
+        return self.cols[:, c : c + 1]
 
     def mul(self, a, b):
         return self.pf.mont_mul(
-            a, b, self.t_ref, self.mnp, self.mp, self.carry, plus_p=self.p2
+            a, b, self.t_ref, self.carry, plus_p=self.p2,
+            m_np=self.mnp, m_p=self.mp,
         )
 
     def mul_pair(self, a, b, c, d, sign2=1.0):
         return self.pf.mont_mul_pair(
-            a, b, c, d, self.t_ref, self.mnp, self.mp, self.carry,
-            plus_p=self.p2, scale2=sign2,
+            a, b, c, d, self.t_ref, self.carry, plus_p=self.p2, scale2=sign2,
+            m_np=self.mnp, m_p=self.mp,
         )
 
     def mul_x2(self, a, b):
         return self.pf.mont_mul_x2(
-            a, b, self.t_ref, self.mnp, self.mp, self.carry, plus_p=self.p2
+            a, b, self.t_ref, self.carry, plus_p=self.p2,
+            m_np=self.mnp, m_p=self.mp,
         )
 
     def cmul_b3(self, x):
-        """x digits must be [-256, 256] (bf16-exact)."""
+        """x digits must be [-256, 256] on the MXU path ([-1900, 1900] on
+        the VPU conv path)."""
         return self.pf.mul_const(
-            x, self.mb3, self.mnp, self.mp, self.carry, plus_p=self.p2
+            x, self.b3_digits, self.t_ref, self.carry, plus_p=self.p2,
+            m_c=self.mb3, m_np=self.mnp, m_p=self.mp,
         )
 
     @staticmethod
@@ -117,19 +133,21 @@ class _G2Field:
 
     K = 2
 
-    def __init__(self, pf, t_ref, mnp, mp, mb3, cols):
+    def __init__(self, pf, t_ref, b3_digits, cols, mnp=None, mp=None, mb3=None):
         self.pf = pf
         self.R8 = pf.R8
         self.t_ref = t_ref
+        self.b3_digits = b3_digits  # (k0_digits, k1_digits) tuple pair
         self.mnp = mnp
         self.mp = mp
-        self.mb3 = mb3  # (M_b3c0, M_b3c1) band pair
-        self.carry = cols[_CARRY, :][:, None]
-        self.p2 = cols[_P2, :][:, None]
+        self.mb3 = mb3  # (band_k0, band_k1) bf16 refs or None
+        self.carry = cols[:, _CARRY : _CARRY + 1]
+        self.p2 = cols[:, _P2 : _P2 + 1]
         self.cols = cols
 
     def kp(self, k):
-        return self.cols[_KROW[k], :][:, None]
+        c = _KCOL[k]
+        return self.cols[:, c : c + 1]
 
     def _split(self, x):
         return x[: self.R8], x[self.R8 :]
@@ -140,7 +158,8 @@ class _G2Field:
 
     def _base_mul(self, a, b):
         return self.pf.mont_mul(
-            a, b, self.t_ref, self.mnp, self.mp, self.carry, plus_p=self.p2
+            a, b, self.t_ref, self.carry, plus_p=self.p2,
+            m_np=self.mnp, m_p=self.mp,
         )
 
     def mul(self, a, b):
@@ -168,19 +187,35 @@ class _G2Field:
         return sweep3(m + m)
 
     def cmul_b3(self, x):
-        """(x0 + x1·u)·(k0 + k1·u): 4 MXU band matmuls, 2 reduces."""
-        mk0, mk1 = self.mb3
+        """(x0 + x1·u)·(k0 + k1·u): 4 const convs (MXU or VPU), 2 reduces."""
+        pf = self.pf
+        t_ref = self.t_ref
         x0, x1 = self._split(x)
-        x0b = x0.astype(BF16)
-        x1b = x1.astype(BF16)
-        t0 = jnp.dot(mk0, x0b, preferred_element_type=F32) - jnp.dot(
-            mk1, x1b, preferred_element_type=F32
-        )
-        t1 = jnp.dot(mk0, x1b, preferred_element_type=F32) + jnp.dot(
-            mk1, x0b, preferred_element_type=F32
-        )
-        c0 = self.pf.reduce(t0, self.mnp, self.mp, self.carry, plus_p=self.p2)
-        c1 = self.pf.reduce(t1, self.mnp, self.mp, self.carry, plus_p=self.p2)
+        if self.mb3 is not None:
+            mk0, mk1 = self.mb3
+            x0b = x0.astype(BF16)
+            x1b = x1.astype(BF16)
+            t0 = jnp.dot(mk0, x0b, preferred_element_type=F32) - jnp.dot(
+                mk1, x1b, preferred_element_type=F32
+            )
+            t1 = jnp.dot(mk0, x1b, preferred_element_type=F32) + jnp.dot(
+                mk1, x0b, preferred_element_type=F32
+            )
+            c0 = pf.reduce(
+                t0, t_ref, self.carry, plus_p=self.p2, m_np=self.mnp, m_p=self.mp
+            )
+            c1 = pf.reduce(
+                t1, t_ref, self.carry, plus_p=self.p2, m_np=self.mnp, m_p=self.mp
+            )
+            return self._join(c0, c1)
+        k0d, k1d = self.b3_digits
+        R2 = 2 * pf.R8
+        pf.conv_into(t_ref, k0d, x0, R2)
+        pf.conv_into(t_ref, k1d, x1, R2, scale=-1.0, zero=False)
+        c0 = pf.reduce(t_ref[...], t_ref, self.carry, plus_p=self.p2)
+        pf.conv_into(t_ref, k0d, x1, R2)
+        pf.conv_into(t_ref, k1d, x0, R2, zero=False)
+        c1 = pf.reduce(t_ref[...], t_ref, self.carry, plus_p=self.p2)
         return self._join(c0, c1)
 
     @staticmethod
@@ -284,15 +319,20 @@ class PlaneCurve:
         self.R8 = pf.R8
         p = curve.fq.modulus
         b3_mont = (3 * curve.b) * pf.r_eff % p
+        self.B3_DIGITS = pf.digits_list(b3_mont)
         self.M_B3 = pf.const_band(b3_mont)
         b2 = getattr(curve, "b2", None)
         if b2 is not None:
-            self.M_B3_G2 = (
-                pf.const_band(3 * b2[0] % p * pf.r_eff % p),
-                pf.const_band(3 * b2[1] % p * pf.r_eff % p),
+            g2_monts = (
+                3 * b2[0] % p * pf.r_eff % p,
+                3 * b2[1] % p * pf.r_eff % p,
             )
+            self.B3_DIGITS_G2 = tuple(pf.digits_list(v) for v in g2_monts)
+            self.M_B3_G2 = tuple(pf.const_band(v) for v in g2_monts)
         else:
+            self.B3_DIGITS_G2 = None
             self.M_B3_G2 = None
+        # (R8, 7) f32: one constant COLUMN per slot (see _CARRY.._K21)
         self.COLS = np.concatenate(
             [
                 pf.CARRY_SCALE,
@@ -304,19 +344,26 @@ class PlaneCurve:
                 pf.KP_COLS[21],
             ],
             axis=1,
-        ).T.astype(np.float32)
+        ).astype(np.float32)
 
-    def field_ctx(self, group, t_ref, mnp, mp, mb3, cols):
+    def b3_digits(self, group):
+        if group == "g1":
+            return self.B3_DIGITS
+        assert self.B3_DIGITS_G2 is not None, "curve has no G2 twist constants"
+        return self.B3_DIGITS_G2
+
+    def field_ctx(self, group, t_ref, cols, mnp=None, mp=None, mb3=None):
         cls = _G1Field if group == "g1" else _G2Field
-        return cls(self.pf, t_ref, mnp, mp, mb3, cols)
+        return cls(self.pf, t_ref, self.b3_digits(group), cols, mnp, mp, mb3)
 
-    # convenience wrappers used by tests (operate in plain XLA, ref-free)
-    def add_body(self, P, Q, t_ref, mnp, mp, mb3, cols):
-        F = _G1Field(self.pf, t_ref, mnp, mp, mb3, cols)
+    # convenience wrappers used by tests (operate in plain XLA, ref-free,
+    # VPU-conv backend)
+    def add_body(self, P, Q, t_ref, cols):
+        F = _G1Field(self.pf, t_ref, self.B3_DIGITS, cols)
         return _add_body(F, P, Q)
 
-    def double_body(self, P, t_ref, mnp, mp, mb3, cols):
-        F = _G1Field(self.pf, t_ref, mnp, mp, mb3, cols)
+    def double_body(self, P, t_ref, cols):
+        F = _G1Field(self.pf, t_ref, self.B3_DIGITS, cols)
         return _double_body(F, P)
 
 
@@ -334,6 +381,7 @@ def _make_pointwise(
     group: str = "g1",
     mixed: bool = False,
     rows_width: int | None = None,
+    k_steps: int = 1,
 ):
     """Build a pallas_call over (K·R8, N) coordinate planes.
 
@@ -347,6 +395,11 @@ def _make_pointwise(
     separate XLA u8->f32 transpose of unaligned 69/137-byte rows costs
     ~1.9 ms per scan step at 81920 lanes, measured); the identity flag
     row joins the mask in-kernel.
+    k_steps (rows mode only): the kernel performs k_steps sequential
+    masked adds per invocation — rows arrive as (N, k_steps·rows_width)
+    and the mask as (k_steps, N). Amortizes the per-call accumulator
+    DMA + launch overhead over k_steps group adds (the MSM scan's main
+    loop advances k_steps sorted elements per dispatch).
     interpret = None -> auto: interpret iff the default backend is CPU
     (Mosaic cannot compile there; tests and host-only runs just work).
     """
@@ -355,9 +408,9 @@ def _make_pointwise(
     pf = pc.pf
     R8 = pc.R8
     K = 1 if group == "g1" else 2
+    cols_c = jnp.asarray(pc.COLS)
     mnp_c = jnp.asarray(pf.M_NP).astype(BF16)
     mp_c = jnp.asarray(pf.M_P).astype(BF16)
-    cols_c = jnp.asarray(pc.COLS)
     if group == "g1":
         mb3_cs = [jnp.asarray(pc.M_B3).astype(BF16)]
     else:
@@ -369,36 +422,51 @@ def _make_pointwise(
     if use_rows:
         assert mixed and masked and body_arity == 2
         assert rows_width >= 2 * K * R8 + 1
+    assert k_steps == 1 or use_rows, "k_steps > 1 requires rows mode"
     n_q = (1 if use_rows else 2 if mixed else 3) if body_arity == 2 else 0
     n_coords = 3 + n_q + (1 if masked else 0) if body_arity == 2 else 3
 
     def kernel(*refs):
-        mnp, mp = refs[0][...], refs[1][...]
-        mb3_v = [refs[2 + i][...] for i in range(n_mb3)]
-        cols = refs[2 + n_mb3][...]
+        cols = refs[0][...]
+        mnp, mp = refs[1][...], refs[2][...]
+        mb3_v = [refs[3 + i][...] for i in range(n_mb3)]
+        mb3 = mb3_v[0] if group == "g1" else tuple(mb3_v)
         base = 3 + n_mb3
         ins = [r[...] for r in refs[base : base + n_coords]]
         outs = refs[base + n_coords : base + n_coords + 3]
         t_ref = refs[-1]
-        mb3 = mb3_v[0] if group == "g1" else tuple(mb3_v)
-        F = pc.field_ctx(group, t_ref, mnp, mp, mb3, cols)
+        F = pc.field_ctx(group, t_ref, cols, mnp, mp, mb3)
         KR = K * R8
         if body_arity == 2:
             P = tuple(ins[:3])
-            m = ins[-1] if masked else None  # (1, T) in {0, 1}
+            m = ins[-1] if masked else None  # (1|k_steps, T) in {0, 1}
             if use_rows:
-                # Mosaic has no direct u8->f32 cast; hop through int32
-                rf = jnp.transpose(ins[3].astype(jnp.int32).astype(F32))
-                X3, Y3, Z3 = _madd_mixed_body(F, P, (rf[:KR], rf[KR : 2 * KR]))
-                m = m * rf[2 * KR : 2 * KR + 1]
+                for k in range(k_steps):
+                    # Mosaic has no direct u8->f32 cast; hop via int32
+                    blk = ins[3][:, k * rows_width : (k + 1) * rows_width]
+                    rf = jnp.transpose(blk.astype(jnp.int32).astype(F32))
+                    X3, Y3, Z3 = _madd_mixed_body(
+                        F, P, (rf[:KR], rf[KR : 2 * KR])
+                    )
+                    mk = m[k : k + 1, :] * rf[2 * KR : 2 * KR + 1]
+                    P = (
+                        mk * X3 + (1.0 - mk) * P[0],
+                        mk * Y3 + (1.0 - mk) * P[1],
+                        mk * Z3 + (1.0 - mk) * P[2],
+                    )
+                X3, Y3, Z3 = P
             elif mixed:
                 X3, Y3, Z3 = _madd_mixed_body(F, P, tuple(ins[3:5]))
+                if masked:
+                    X3 = m * X3 + (1.0 - m) * P[0]
+                    Y3 = m * Y3 + (1.0 - m) * P[1]
+                    Z3 = m * Z3 + (1.0 - m) * P[2]
             else:
                 X3, Y3, Z3 = _add_body(F, P, tuple(ins[3:6]))
-            if masked:
-                X3 = m * X3 + (1.0 - m) * P[0]
-                Y3 = m * Y3 + (1.0 - m) * P[1]
-                Z3 = m * Z3 + (1.0 - m) * P[2]
+                if masked:
+                    X3 = m * X3 + (1.0 - m) * P[0]
+                    Y3 = m * Y3 + (1.0 - m) * P[1]
+                    Z3 = m * Z3 + (1.0 - m) * P[2]
         else:
             X3, Y3, Z3 = _double_body(F, tuple(ins))
         outs[0][...] = X3
@@ -410,24 +478,30 @@ def _make_pointwise(
         n = coords[0].shape[-1]
         assert n % tile == 0, f"lane count {n} must be a multiple of {tile}"
         const_specs = [
+            pl.BlockSpec((R8, 7), lambda i: (0, 0)),
             pl.BlockSpec((R8, R8), lambda i: (0, 0)),
             pl.BlockSpec((2 * R8, R8), lambda i: (0, 0)),
         ]
         const_specs += [
             pl.BlockSpec((2 * R8, R8), lambda i: (0, 0)) for _ in range(n_mb3)
         ]
-        const_specs.append(pl.BlockSpec((7, R8), lambda i: (0, 0)))
         data_specs = [
             pl.BlockSpec((K * R8, tile), lambda i: (0, i))
         ] * 3
         if use_rows:
-            data_specs.append(pl.BlockSpec((tile, rows_width), lambda i: (i, 0)))
+            data_specs.append(
+                pl.BlockSpec((tile, k_steps * rows_width), lambda i: (i, 0))
+            )
         else:
             data_specs += [
                 pl.BlockSpec((K * R8, tile), lambda i: (0, i))
             ] * n_q
         if masked:
-            data_specs.append(pl.BlockSpec((1, tile), lambda i: (0, i)))
+            data_specs.append(
+                pl.BlockSpec(
+                    (k_steps if use_rows else 1, tile), lambda i: (0, i)
+                )
+            )
         if body_arity == 1:
             data_specs = [pl.BlockSpec((K * R8, tile), lambda i: (0, i))] * 3
         out_spec = pl.BlockSpec((K * R8, tile), lambda i: (0, i))
@@ -441,7 +515,7 @@ def _make_pointwise(
             out_specs=(out_spec,) * 3,
             scratch_shapes=[pltpu.VMEM((2 * R8, tile), F32)],
             interpret=interpret,
-        )(mnp_c, mp_c, *mb3_cs, cols_c, *coords)
+        )(cols_c, mnp_c, mp_c, *mb3_cs, *coords)
 
     return run
 
@@ -499,17 +573,24 @@ def rows_pad_width(curve: CurveParams, group: str = "g1") -> int:
 
 
 def make_masked_mixed_add_rows(
-    curve: CurveParams, tile: int = 256, interpret: bool | None = None, group: str = "g1"
+    curve: CurveParams,
+    tile: int = 256,
+    interpret: bool | None = None,
+    group: str = "g1",
+    k_steps: int = 1,
 ):
-    """(P, rows_u8, mask) -> mask·flag ? P+(X2,Y2) : P.
+    """(P, rows_u8, mask) -> mask·flag ? P+(X2,Y2) : P, k_steps deep.
 
-    rows_u8 is the (N, rows_pad_width) gathered table block; u8->f32 cast,
-    transpose to digit planes, and the identity-flag masking all happen
-    inside the kernel (VMEM), killing the per-step XLA transpose.
+    rows_u8 is the (N, k_steps·rows_pad_width) gathered table block;
+    u8->f32 cast, transpose to digit planes, and the identity-flag
+    masking all happen inside the kernel (VMEM), killing the per-step
+    XLA transpose. With k_steps > 1 the mask is (k_steps, N) and the
+    kernel chains k_steps masked adds before writing the accumulator
+    back (one acc round-trip per k_steps adds).
     """
     return _make_pointwise(
         get_plane_curve(curve), 2, tile, interpret, masked=True, group=group,
-        mixed=True, rows_width=rows_pad_width(curve, group),
+        mixed=True, rows_width=rows_pad_width(curve, group), k_steps=k_steps,
     )
 
 

@@ -141,9 +141,18 @@ class PlaneFieldV3:
         self.RMP_COL = digits_col(self.r_eff - p, R8)
         self.ONE_MONT_COL = digits_col(self.one_mont_val, R8)
         self.R2_COL = digits_col(self.r2_eff, R8)
-        # MXU band matrices (all entries <= 255, bf16-exact)
+        # MXU band matrices (all entries <= 255, bf16-exact) — kept for
+        # tests/tools; the hot path now uses the scalar digit lists below
         self.M_NP = band(self.n_prime_eff, R8, R8)  # (R8, R8): x -> x·N' mod R
         self.M_P = band(p, 2 * R8, R8)  # (2R8, R8): x -> x·P
+        # compile-time scalar digit lists: the banded-constant "matmuls" of
+        # Montgomery reduction are convolutions by these FIXED byte
+        # sequences. Emitting them as Python-float scalar FMAs keeps the
+        # whole reduce on the VPU — measured ~25x faster than the bf16 MXU
+        # path, whose per-call cast/relayout overhead (~2.5 us per reduce
+        # per grid step) dwarfed the actual arithmetic.
+        self.NP_DIGITS = self.digits_list(self.n_prime_eff)
+        self.P_DIGITS = self.digits_list(p)
         # carry-extraction scales: 2^{8(i-R8)} for the top _CARRY_ROWS rows
         sc = np.zeros((R8, 1), dtype=np.float32)
         for i in range(R8 - _CARRY_ROWS, R8):
@@ -153,6 +162,31 @@ class PlaneFieldV3:
     # ------------------------------------------------------------------
     # in-kernel ops ((R8, T) f32 planes; also valid as plain XLA ops)
     # ------------------------------------------------------------------
+    def digits_list(self, v: int, rows: int | None = None) -> tuple:
+        """Base-256 digits of v as compile-time Python floats."""
+        rows = rows or self.R8
+        return tuple(float((v >> (8 * i)) & 0xFF) for i in range(rows))
+
+    @staticmethod
+    def conv_into(t_ref, digits, x, rows_out: int, scale=1.0, zero=True):
+        """t_ref[:rows_out] (+)= scale·conv(digits, x), rows truncated at
+        rows_out: out[k] = Σ_i digits[i]·x[k-i].
+
+        Scalar-constant VPU FMAs accumulated into scratch rows (the same
+        RMW pattern as mul_acc — Mosaic compiles and schedules it well,
+        unlike value-level pad chains). Zero digits are skipped. Exact
+        while every partial sum stays < 2^24 (terms <= 255·|x| with <= R8
+        of them — the caller's digit-bound ledger covers this).
+        """
+        rx = x.shape[0]
+        if zero:
+            t_ref[0:rows_out, :] = jnp.zeros((rows_out, x.shape[1]), F32)
+        for i, d in enumerate(digits):
+            if d == 0.0 or i >= rows_out:
+                continue
+            hi = min(rows_out - i, rx)
+            t_ref[i : i + hi, :] += (d * scale) * x[:hi]
+
     def mul_acc(self, A, B, t_ref):
         """t_ref[0:2R8] = A * B (lazy digit conv, digits < 2^24)."""
         R8 = self.R8
@@ -160,23 +194,41 @@ class PlaneFieldV3:
         for i in range(R8):
             t_ref[i : i + R8, :] += A[i, :][None, :] * B
 
-    def reduce(self, t, m_np, m_p, carry_scale, plus_p=None):
-        """Montgomery-reduce a lazy (2R8, T) product -> (R8, T).
+    def reduce(self, t, t_ref, carry_scale, plus_p=None, m_np=None, m_p=None):
+        """Montgomery-reduce a lazy (2R8, T) product value t -> (R8, T).
 
-        Signed digit inputs (|d| <= 2^22) are fine: sweeps are sign-correct
-        and bf16 is exact on [-256, 256]. With signed digits value(m) may be
-        negative, making the result land in (-p, V²/R + 1.01p); pass
-        `plus_p` (the P_COL constant, as an input ref slice) to fold a +p
-        and keep values nonnegative — required when composing in fused
-        kernels. Output digits in [-1, 256] (nonneg inputs: [0, 256]).
+        t_ref is clobbered as scratch (t must already be a loaded VALUE).
+        Signed digit inputs (|d| <= 2^22) are fine: sweeps are sign-correct.
+        With signed digits value(m) may be negative, making the result land
+        in (-p, V²/R + 1.01p); pass `plus_p` (the P_COL constant, as an
+        input ref slice) to fold a +p and keep values nonnegative —
+        required when composing in fused kernels. Output digits in
+        [-1, 256] (nonneg inputs: [0, 256]).
+
+        Two bit-identical backends for the constant multiplies
+        (m = t·N' mod R, m·P) — all terms are exact integers < 2^24:
+
+        * m_np/m_p None: scalar-constant VPU convolutions (conv_into).
+          Fastest when the kernel has little mul-level parallelism (NTT
+          butterflies, serial mul chains: 5.5 vs 24.7 ns/mul measured) —
+          the MXU path's cast+relayout cannot overlap anything there.
+        * m_np/m_p given (bf16 band-matrix refs): MXU matmuls. Fastest
+          inside kernels with many independent muls (the fused curve
+          adds), where the matmuls of one reduce overlap the VPU conv and
+          sweep work of the others and the constant multiplies become
+          ~free.
         """
         R8 = self.R8
         tlo = sweep3(t[:R8])  # mod-R truncation: top carry dropped
-        m = jnp.dot(
-            m_np, tlo.astype(BF16), preferred_element_type=F32
-        )
-        m = sweep3(m)  # digits in [-1,256]; value ≡ t·N' (mod R)
-        mp = jnp.dot(m_p, m.astype(BF16), preferred_element_type=F32)
+        if m_np is None:
+            self.conv_into(t_ref, self.NP_DIGITS, tlo, R8)
+            m = sweep3(t_ref[0:R8, :])  # digits [-1,256]; ≡ t·N' (mod R)
+            self.conv_into(t_ref, self.P_DIGITS, m, 2 * R8)
+            mp = t_ref[...]
+        else:
+            m = jnp.dot(m_np, tlo.astype(BF16), preferred_element_type=F32)
+            m = sweep3(m)
+            mp = jnp.dot(m_p, m.astype(BF16), preferred_element_type=F32)
         s = t + mp  # digits <= 2^22.6, low half value ≡ 0 mod R
         carry = jnp.round(jnp.sum(s[:R8] * carry_scale, axis=0, keepdims=True))
         hi = s[R8:]
@@ -185,14 +237,14 @@ class PlaneFieldV3:
             out = out + plus_p
         return sweep3(out)
 
-    def mont_mul(self, A, B, t_ref, m_np, m_p, carry_scale, plus_p=None):
+    def mont_mul(self, A, B, t_ref, carry_scale, plus_p=None, m_np=None, m_p=None):
         """Full Montgomery product on planes (see class invariants)."""
         self.mul_acc(A, B, t_ref)
-        return self.reduce(t_ref[...], m_np, m_p, carry_scale, plus_p)
+        return self.reduce(t_ref[...], t_ref, carry_scale, plus_p, m_np, m_p)
 
     def mont_mul_pair(
-        self, A1, B1, A2, B2, t_ref, m_np, m_p, carry_scale, plus_p=None,
-        scale2=1.0,
+        self, A1, B1, A2, B2, t_ref, carry_scale, plus_p=None, scale2=1.0,
+        m_np=None, m_p=None,
     ):
         """(A1·B1 + scale2·A2·B2)·R^-1 — two products, ONE reduction.
 
@@ -209,9 +261,11 @@ class PlaneFieldV3:
         A2s = A2 if scale2 == 1.0 else A2 * F32(scale2)
         for i in range(R8):
             t_ref[i : i + R8, :] += A2s[i, :][None, :] * B2
-        return self.reduce(t_ref[...], m_np, m_p, carry_scale, plus_p)
+        return self.reduce(t_ref[...], t_ref, carry_scale, plus_p, m_np, m_p)
 
-    def mont_mul_x2(self, A, B, t_ref, m_np, m_p, carry_scale, plus_p=None):
+    def mont_mul_x2(
+        self, A, B, t_ref, carry_scale, plus_p=None, m_np=None, m_p=None
+    ):
         """(2·A·B)·R^-1 — doubled product, one reduction (digits must give
         2·conv < 2^24: |dA·dB|·R8 <= 2^23)."""
         R8 = self.R8
@@ -219,18 +273,29 @@ class PlaneFieldV3:
         A2 = A + A
         for i in range(R8):
             t_ref[i : i + R8, :] += A2[i, :][None, :] * B
-        return self.reduce(t_ref[...], m_np, m_p, carry_scale, plus_p)
+        return self.reduce(t_ref[...], t_ref, carry_scale, plus_p, m_np, m_p)
 
     def const_band(self, c_mont: int) -> np.ndarray:
         """(2R8, R8) band matrix for multiply-by-constant (c in Mont form):
-        conv(x, c) == M_C @ x, to be fed through `reduce`. MXU-only mul."""
+        conv(x, c) == M_C @ x. Legacy/tests only — hot kernels use
+        mul_const with a digits_list."""
         return self._band(c_mont, 2 * self.R8, self.R8)
 
-    def mul_const(self, X, m_c, m_np, m_p, carry_scale, plus_p=None):
-        """X·c with c baked in m_c = const_band(c_mont). X digits must be
-        bf16-exact ([-256, 256]) — sweep3 first if lazy."""
-        t = jnp.dot(m_c, X.astype(BF16), preferred_element_type=F32)
-        return self.reduce(t, m_np, m_p, carry_scale, plus_p)
+    def mul_const(
+        self, X, c_digits, t_ref, carry_scale, plus_p=None,
+        m_c=None, m_np=None, m_p=None,
+    ):
+        """X·c with c given as digits_list(c_mont). X digits must satisfy
+        255·|X|·R8 < 2^24 (i.e. |X| <= ~1900); sweep3 first if lazier.
+
+        With m_c (a bf16 const_band ref) the constant conv runs on the MXU
+        instead (X must then be bf16-exact, [-256, 256]); see reduce() for
+        when each backend wins."""
+        if m_c is not None:
+            t = jnp.dot(m_c, X.astype(BF16), preferred_element_type=F32)
+            return self.reduce(t, t_ref, carry_scale, plus_p, m_np, m_p)
+        self.conv_into(t_ref, c_digits, X, 2 * self.R8)
+        return self.reduce(t_ref[...], t_ref, carry_scale, plus_p)
 
     # ------------------------------------------------------------------
     # host codecs (test/ingestion use; device bulk conversion via mul R2)
@@ -337,18 +402,16 @@ def make_mont_mul_v3(params: FieldParams, tile: int = 512, interpret: bool = Fal
     pf = get_plane_field_v3(params)
     R8 = pf.R8
     L = pf.L
-    m_np_c = jnp.asarray(pf.M_NP)
-    m_p_c = jnp.asarray(pf.M_P)
     cols = jnp.asarray(
-        np.concatenate([pf.CARRY_SCALE, pf.RMP_COL], axis=1).T  # (2, R8)
+        np.concatenate([pf.CARRY_SCALE, pf.RMP_COL], axis=1)  # (R8, 2)
     )
 
-    def kernel(mnp_ref, mp_ref, cols_ref, a_ref, b_ref, o_ref, t_ref):
+    def kernel(cols_ref, a_ref, b_ref, o_ref, t_ref):
         A = a_ref[...].astype(F32)
         B = b_ref[...].astype(F32)
-        carry_scale = cols_ref[0, :][:, None]
-        rmp = cols_ref[1, :][:, None]
-        out = pf.mont_mul(A, B, t_ref, mnp_ref[...], mp_ref[...], carry_scale)
+        carry_scale = cols_ref[:, 0:1]
+        rmp = cols_ref[:, 1:2]
+        out = pf.mont_mul(A, B, t_ref, carry_scale)
         out = pf.to_canonical(out, rmp)
         o_ref[...] = out.astype(jnp.int32)
 
@@ -366,16 +429,14 @@ def make_mont_mul_v3(params: FieldParams, tile: int = 512, interpret: bool = Fal
             out_shape=jax.ShapeDtypeStruct((R8, n_pad), jnp.int32),
             grid=(n_pad // tile,),
             in_specs=[
-                pl.BlockSpec((R8, R8), lambda i: (0, 0)),
-                pl.BlockSpec((2 * R8, R8), lambda i: (0, 0)),
-                pl.BlockSpec((2, R8), lambda i: (0, 0)),
+                pl.BlockSpec((R8, 2), lambda i: (0, 0)),
                 pl.BlockSpec((R8, tile), lambda i: (0, i)),
                 pl.BlockSpec((R8, tile), lambda i: (0, i)),
             ],
             out_specs=pl.BlockSpec((R8, tile), lambda i: (0, i)),
             scratch_shapes=[pltpu.VMEM((2 * R8, tile), F32)],
             interpret=interpret,
-        )(m_np_c.astype(BF16), m_p_c.astype(BF16), cols, a8, b8)
+        )(cols, a8, b8)
         return limbs_from_digits8(out, L)[:n]
 
     return run

@@ -242,7 +242,7 @@ class DistPlaneNtt:
         self.coset_unscale = jnp.asarray(pf.pack_rows_u8_np(ipows))
         z_coset = (pow(g, self.n, p) - 1) % p
         self.hadamard = self.k._hadamard_build(
-            pf.const_band(pow(z_coset, -1, p) * pf.r_eff % p)
+            pow(z_coset, -1, p) * pf.r_eff % p
         )
 
         self._fft = jax.jit(functools.partial(self._run, inverse=False))

@@ -95,8 +95,6 @@ def test_lazy_composition_chain():
     n = 64
     av, bv, cv = (rand_vals(params, n, s) for s in (3, 4, 5))
     A, B, C = (to_planes(params, v) for v in (av, bv, cv))
-    m_np = jnp.asarray(pf.M_NP).astype(BF16)
-    m_p = jnp.asarray(pf.M_P).astype(BF16)
     cs = jnp.asarray(pf.CARRY_SCALE)
     p2 = jnp.asarray(pf.P2_COL)
 
@@ -113,14 +111,14 @@ def test_lazy_composition_chain():
 
     t_ref = FakeRef((2 * pf.R8, n))
     # x = a*b (lazy out, digits <= 256, value <= 1.4p)
-    x = pf.mont_mul(A, B, t_ref, m_np, m_p, cs)
+    x = pf.mont_mul(A, B, t_ref, cs)
     # y = x + c (digits <= 512, value <= 2.4p): legal mul input
     y = pf.add(x, C)
     # z = y - b + 2p (digits in (-256, 768+)... keep sub on canonical-ish)
     z = pf.sub(y, B, p2)
     z = sweep3(z)  # re-bound digits before multiplying
     # w = z * a
-    w = pf.mont_mul(z, A, t_ref, m_np, m_p, cs)
+    w = pf.mont_mul(z, A, t_ref, cs)
     got = planes_to_vals(params, w)
     # planes hold mont forms: x=abR, y=(ab+c)R, z≡(ab+c-b)R, w≡(ab+c-b)aR;
     # planes_to_vals strips the R factor.
