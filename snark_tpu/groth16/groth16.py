@@ -523,6 +523,11 @@ class Groth16:
         return proof_dev
 
     def _prove_from_assignment(self, pk: ProvingKey, z: list[int], r: int, s: int) -> Proof:
+        import os
+        import time as _time
+
+        import jax as _jax
+
         fr = self.fr
         p = fr.p
         n = pk.domain_size
@@ -531,11 +536,27 @@ class Groth16:
         plan = self._witness_plan(n)
         df = plan.df
 
+        profile = os.environ.get("SNARK_TPU_PROVE_PROFILE") == "1"
+        _t = [_time.time()]
+
+        def tick(label, *sync):
+            """Stage timestamps for the prove profile (forces a device sync
+            so the stage boundary is real, not dispatch-queue depth)."""
+            if not profile:
+                return
+            if sync:
+                _jax.block_until_ready(sync)
+            now = _time.time()
+            print(f"  prove[{label}]: {(now - _t[0]) * 1e3:8.1f} ms", flush=True)
+            _t[0] = now
+
         # device witness vector (Montgomery) and the three constraint evals
         z_mont = df.array(z)
+        tick("z upload", z_mont)
         a_rows = plan.matvec(pk.mat_a, z_mont)  # (nc, L)
         b_rows = plan.matvec(pk.mat_b, z_mont)
         c_rows = plan.matvec(pk.mat_c, z_mont)
+        tick("matvec x3", a_rows, b_rows, c_rows)
 
         pad = n - nc - ni
         inst_mont = z_mont[:ni]
@@ -549,10 +570,9 @@ class Groth16:
         # combine (the sequential doubling tail is latency-bound batch-1
         # work — host is faster). z digits extracted on host; h digits on
         # device (stay on-chip).
-        import os
-
         nbits = self.curve.fr.num_bits
         z_limbs = fr.to_limbs_array(z)
+        tick("z limbs (host)")
         m = len(z)
         plane_min = int(os.environ.get("SNARK_TPU_PLANE_MSM_MIN", "2048"))
         if m >= plane_min:
@@ -570,6 +590,7 @@ class Groth16:
                 to_planes(a_evals), to_planes(b_evals), to_planes(c_evals)
             )
             h_std_planes = pn.to_std_canonical(h_bitrev)  # (R8, n) canonical
+            tick("plane NTT h", h_std_planes)
         else:
             h_mont = plan.h_from_evals(a_evals, b_evals, c_evals)  # (n, K)
             h_std = df.from_mont(h_mont[: n - 1])
@@ -578,17 +599,22 @@ class Groth16:
             # W·2^c bucket lanes amortize)
             c_z = pick_window_plane(m)
             z_digits = jnp.asarray(scalars_to_digits(z_limbs, c_z, nbits))
+            tick("z digits")
             plan_g1 = get_plane_msm(self.curve, c_z, nbits)
             plan_g2 = get_plane_msm(self.curve, c_z, nbits, group="g2")
             A_sum = plan_g1.msm_host(pk.a_tbl, z_digits, self.hg1)
+            tick("MSM A (g1)")
             B_sum = plan_g2.msm_host(pk.b_g2_tbl, z_digits, self.hg2)
+            tick("MSM B (g2)")
             B1_sum = plan_g1.msm_host(pk.b_g1_tbl, z_digits, self.hg1)
             L_sum = plan_g1.msm_host(pk.l_tbl, z_digits[ni:], self.hg1)
+            tick("MSM B1+L (g1)")
             # c = 8 windows are literally the canonical digit planes
             c_h = 8
             h_digits = h_std_planes[:32].T.astype(jnp.uint32)  # (n, 32)
             plan_h = get_plane_msm(self.curve, c_h, nbits)
             H_sum = plan_h.msm_host(pk.h_tbl, h_digits, self.hg1)
+            tick("MSM H (g1 c=8)")
         else:
             # small circuits: the bucket-lane setup of the plane MSM
             # (W·2^c lanes) dwarfs N — use the legacy batched-XLA path

@@ -25,14 +25,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields.params import CurveParams
-from .pallas_field_v3 import BF16, F32
+from .pallas_field_v3 import F32
 from .pallas_curve import (
     get_plane_curve,
     make_masked_add,
     make_masked_mixed_add_rows,
     make_point_add,
     make_point_double,
-    pack_points_host,
     rows_pad_width,
     unpack_points_host,
 )
@@ -61,6 +60,7 @@ class PlaneMsm:
         interpret: bool | None = None,
         group: str = "g1",
         signed: bool = False,
+        k_steps: int | None = None,
     ):
         self.curve = curve
         self.pc = get_plane_curve(curve)
@@ -80,7 +80,9 @@ class PlaneMsm:
         # 0.20 s) where per-dispatch overhead dominates, k=1 wins at 2^20
         # (18.8 vs 17.2 M adds/s) where the kernel is compute-bound and
         # batching only adds trip-count round-up waste.
-        self.k_steps = int(os.environ.get("SNARK_TPU_MSM_K", "1"))
+        if k_steps is None:
+            k_steps = int(os.environ.get("SNARK_TPU_MSM_K", "1"))
+        self.k_steps = k_steps
         self.mixed_madd_rows = make_masked_mixed_add_rows(
             curve, tile, interpret, group=group, k_steps=self.k_steps
         )
@@ -478,11 +480,14 @@ def get_plane_msm(
     interpret: bool | None = None,
     group: str = "g1",
     signed: bool = False,
+    k_steps: int | None = None,
 ) -> PlaneMsm:
-    key = (curve.name, c, num_bits, tile, interpret, group, signed)
+    key = (curve.name, c, num_bits, tile, interpret, group, signed, k_steps)
     plan = _PLANS.get(key)
     if plan is None:
-        plan = PlaneMsm(curve, c, num_bits, tile, interpret, group, signed)
+        plan = PlaneMsm(
+            curve, c, num_bits, tile, interpret, group, signed, k_steps
+        )
         _PLANS[key] = plan
     return plan
 

@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..fields.host import Fp
 from ..fields.params import FieldParams
-from .pallas_field_v3 import BF16, F32, PlaneFieldV3, sweep3
+from .pallas_field_v3 import F32, PlaneFieldV3, sweep3
 
 EXTRA_DIGITS = 2
 

@@ -765,7 +765,8 @@ def batch_to_affine_host(curve: CurveParams, xs, ys, zs, group: str = "g1"):
 
 
 def table_from_query_u32(
-    pc: PlaneCurve, old_ops, pts_u32, group: str = "g1", perm=None
+    pc: PlaneCurve, old_ops, pts_u32, group: str = "g1", perm=None,
+    signed: bool = False,
 ) -> np.ndarray:
     """(N, 3, K) u32 projective Montgomery points (old narrow-R device
     layout, the fixed-base setup output) -> (M, 2·K·R8+1) uint8 MSM table.
@@ -774,7 +775,8 @@ def table_from_query_u32(
     Montgomery canonical digits. `perm` (optional, len M) reorders rows:
     table row k = point[perm[k]], with perm[k] == -1 -> identity row
     (used to store h_query in bit-reversed coefficient order, matching the
-    plane NTT's permutation-free h pipeline).
+    plane NTT's permutation-free h pipeline). `signed` emits the 2M-row
+    [points ‖ negations] layout the signed-digit plane MSM gathers from.
     """
     arr = np.asarray(pts_u32)
     df = old_ops.df
@@ -795,4 +797,10 @@ def table_from_query_u32(
     affs = batch_to_affine_host(pc.curve, xs, ys, zs, group)
     if perm is not None:
         affs = [affs[j] if j >= 0 else None for j in perm]
-    return pack_rows_u8_host(pc, affs, group)
+    pos = pack_rows_u8_host(pc, affs, group)
+    if not signed:
+        return pos
+    neg = pack_rows_u8_host(
+        pc, negate_points_host(pc.curve, affs, group), group
+    )
+    return np.concatenate([pos, neg], axis=0)
