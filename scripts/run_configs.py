@@ -51,14 +51,22 @@ def config1():
 
 def config2():
     from snark_tpu.fields import BN254
-    from snark_tpu.groth16 import Groth16
+    from snark_tpu.groth16 import Groth16, ProvingKey
     from snark_tpu.models import MulChainCircuit
 
     n = (1 << 16) - 64  # domain rounds to 2^16
     g16 = Groth16(BN254)
     circuit = MulChainCircuit(seed=7, n=n, batch=True)
+    pk_path = os.environ.get("CONFIG2_PK", ".cache/config2_bn254.npz")
     t0 = time.time()
-    pk, vk = g16.circuit_specific_setup(circuit, random.Random(0))
+    if pk_path and os.path.exists(pk_path):
+        pk = ProvingKey.load(pk_path)
+        vk = pk.vk
+    else:
+        pk, vk = g16.circuit_specific_setup(circuit, random.Random(0))
+        if pk_path:
+            os.makedirs(os.path.dirname(pk_path) or ".", exist_ok=True)
+            pk.save(pk_path)
     t_setup = time.time() - t0
     g16.prove(pk, circuit, rng=random.Random(5))  # warm (kernel compiles)
     t0 = time.time()

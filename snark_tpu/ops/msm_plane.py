@@ -372,22 +372,35 @@ class PlaneMsm:
 
             return tuple(roll3(a) for a in acc3)
 
+        # The fold phases below run as fori_loops with traced strides
+        # (2^j) and mask tables indexed by the loop counter — ONE traced
+        # instance of the fused-add body per phase instead of one per
+        # step. The unrolled form inlined the madd body ~20x, which blew
+        # the trace/compile budget of the CPU emu path (and bought the
+        # TPU path nothing: these phases are ~20 steps of O(lanes) work).
+
+        def fold_loop(acc3, masks, n_steps):
+            """acc3 <- masked_step(acc3, roll(acc3, 2^j), masks[j])."""
+            masks_f = jnp.asarray(
+                np.concatenate(masks, axis=0).astype(np.float32)
+            )  # (n_steps, lanes)
+
+            def body(j, a3):
+                g = rolled(a3, 1 << j)
+                return self._masked_step(a3, g, masks_f[j][None, :])
+
+            return jax.lax.fori_loop(0, n_steps, body, acc3)
+
         # collapse replica slots: bucket b of window w lands at slot b·2^r
-        for j in range(self.max_r):
-            g = rolled(acc3, 1 << j)
-            mask = jnp.asarray(self.COLLAPSE[j]).astype(F32)
-            acc3 = self._masked_step(acc3, g, mask)
+        if self.max_r:
+            acc3 = fold_loop(acc3, self.COLLAPSE, self.max_r)
 
         # Σ_b w(b)·B_b per window == double suffix scan on the coarse grid:
         # S_b = Σ_{j>=b} B_j, then Σ_{b>=1} S_b gives weight w(b) = b
         # (unsigned). Signed buckets carry weight w(b) = b+1 (bucket b holds
         # |digit| = b+1): keep S_0 in the second scan, Σ_{b>=0} S_b.
         def scan(acc3):
-            for k in range(self.cb):
-                g = rolled(acc3, 1 << k)
-                mask = jnp.asarray(self.SCAN[k]).astype(F32)
-                acc3 = self._masked_step(acc3, g, mask)
-            return acc3
+            return fold_loop(acc3, self.SCAN, self.cb)
 
         suffix = scan(acc3)
         if self.signed:

@@ -14,13 +14,27 @@ pre-permuted on host, and the Groth16 h_query table is stored in
 bit-reversed coefficient order (groth16.py setup).
 
 Value ledger (units of p; every Montgomery mul clamps to <= 3.1p with the
-folded +2p): DIT grows values +4p/stage (lo ± t with t a mul output, K=4
-fold), DIF's sum side doubles nothing but accumulates lo+hi — both stay
-<= v0 + 4·log2(n) <= ~90p for n <= 2^21, far below the 256^R8/p ~ 2^17.6·p
-representation capacity; the one large fold K=84 covers |hi| in the DIF
-difference and the Hadamard's (A·B - C) subtraction. Digit bounds follow
-pallas_curve.py's invariants (mul outputs [-1,256], sums <= 512, subs
-<= |513|, all conv terms < 2^24).
+folded +2p). Two different growth modes, bounded deterministically for
+ANY domain size:
+
+  * DIT: values grow LINEARLY, +~3.1p/stage (o0 = lo + t, o1 = lo - t
+    + 4p with t a mul output <= 3.1p; the K=4 fold is always sufficient
+    since t < 4p). Final values <= 3.1p·(log2(n) + 1).
+  * DIF: the sum side o0 = lo + hi DOUBLES values every stage (no mul
+    reduces it). Unbounded doubling underflows the K84 fold on the
+    difference side — (lo - hi) + 84p wraps mod R once partial sums
+    exceed 84p, silently adding +tw to the lane (the round-2 on-chip
+    config-2 corruption: probabilistic at domains >= 2^14). Fix: every
+    4th DIF stage runs the NORMALIZING butterfly (dif_norm), whose sum
+    output is Montgomery-multiplied by one_mont (value(x·R)·1·R^{-1} ≡
+    same element, value re-clamped <= 3.1p). Between norms values stay
+    <= 2^3·3.1p = 24.8p, so |lo - hi| <= 24.8p << 84p, deterministically.
+  * Hadamard (A·B - C): C arrives DIT-fresh with value <=
+    3.1p·(log2(n)+1), which exceeds 84p for n >= 2^26 — its fold uses
+    K192 (safe through n = 2^60).
+
+Digit bounds follow pallas_curve.py's invariants (mul outputs [-1,256],
+sums <= 512, subs <= |513|, all conv terms < 2^24).
 """
 
 from __future__ import annotations
@@ -36,10 +50,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..fields.host import Fp
 from ..fields.params import FieldParams
 from .pallas_field_v3 import F32, PlaneFieldV3, sweep3
+from .plane_emu import use_real_interpret as _use_real_interpret
 
 EXTRA_DIGITS = 2
 
-_CARRY, _P2, _K4, _K84, _RMP = range(5)
+_CARRY, _P2, _K4, _K84, _K192, _RMP = range(6)
 
 
 def _bit_reverse_indices(n: int) -> np.ndarray:
@@ -57,7 +72,14 @@ class _Kernels:
     def __init__(self, params: FieldParams, tile: int, interpret: bool | None):
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
-        self.pf = pf = PlaneFieldV3(params, EXTRA_DIGITS)
+        if interpret and not _use_real_interpret():
+            # CPU: conv-based emu field (same values, tiny jaxprs) — the
+            # run() wrappers below skip pallas_call entirely
+            from .plane_emu import get_emu_field
+
+            self.pf = pf = get_emu_field(params, EXTRA_DIGITS)
+        else:
+            self.pf = pf = PlaneFieldV3(params, EXTRA_DIGITS)
         R8 = pf.R8
         self.R8 = R8
         self.tile = tile
@@ -70,15 +92,34 @@ class _Kernels:
                 pf.KP_COLS[2],
                 pf.KP_COLS[4],
                 pf.KP_COLS[84],
+                pf.KP_COLS[192],
                 pf.RMP_COL,
             ],
             axis=1,
         ).astype(np.float32)
         cols_c = jnp.asarray(cols)
 
-        const_specs = [pl.BlockSpec((R8, 5), lambda i: (0, 0))]
+        const_specs = [pl.BlockSpec((R8, 6), lambda i: (0, 0))]
 
         def build(kernel, n_in, n_out):
+            if interpret and not _use_real_interpret():
+                # CPU backend: full-width XLA emulation of the same body
+                # (see ops/plane_emu.py)
+                from .plane_emu import emu_call
+
+                @jax.jit
+                def run_emu(*arrs):
+                    n = arrs[0].shape[-1]
+                    outs = tuple(
+                        jax.ShapeDtypeStruct((R8, n), F32)
+                        for _ in range(n_out)
+                    )
+                    return emu_call(
+                        kernel, n_in, outs, (2 * R8, n), [cols_c], list(arrs)
+                    )
+
+                return run_emu
+
             @jax.jit
             def run(*arrs):
                 n = arrs[0].shape[-1]
@@ -106,15 +147,16 @@ class _Kernels:
             p2 = cols[:, _P2 : _P2 + 1]
             k4 = cols[:, _K4 : _K4 + 1]
             k84 = cols[:, _K84 : _K84 + 1]
+            k192 = cols[:, _K192 : _K192 + 1]
 
             def mul(a, b):
                 return pf.mont_mul(a, b, t_ref, carry, plus_p=p2)
 
-            return cols, t_ref, carry, p2, k4, k84, mul
+            return cols, t_ref, carry, p2, k4, k84, k192, mul
 
         # --- DIT butterfly: (lo, hi, tw) -> (lo + hi·tw, lo - hi·tw) ----
         def dit_kernel(*refs):
-            *_, k4, _k84, mul = ctx(refs)
+            *_, k4, _k84, _k192, mul = ctx(refs)
             lo, hi, tw = (r[...] for r in refs[1:4])
             o = refs[4:6]
             t = mul(hi, tw)
@@ -125,13 +167,31 @@ class _Kernels:
 
         # --- DIF butterfly: (lo, hi, tw) -> (lo + hi, (lo - hi)·tw) -----
         def dif_kernel(*refs):
-            *_, _k4, k84, mul = ctx(refs)
+            *_, _k4, k84, _k192, mul = ctx(refs)
             lo, hi, tw = (r[...] for r in refs[1:4])
             o = refs[4:6]
             o[0][...] = sweep3(lo + hi)
             o[1][...] = mul(sweep3((lo - hi) + k84), tw)
 
         self.dif = build(dif_kernel, 3, 2)
+
+        # --- normalizing DIF butterfly: sum side re-clamped to <= 3.1p --
+        # (value(lo + hi)·one_mont·R^{-1} ≡ lo + hi with value < 3.1p;
+        # run every 4th stage so the doubling sum chain never exceeds
+        # ~25p and the K84 difference fold stays sound for ANY n — see
+        # the module value ledger)
+        norm_d = pf.digits_list(pf.one_mont_val)
+
+        def dif_norm_kernel(*refs):
+            _cols, t_ref, carry, p2, _k4, k84, _k192, mul = ctx(refs)
+            lo, hi, tw = (r[...] for r in refs[1:4])
+            o = refs[4:6]
+            o[1][...] = mul(sweep3((lo - hi) + k84), tw)
+            o[0][...] = pf.mul_const(
+                sweep3(lo + hi), norm_d, t_ref, carry, plus_p=p2
+            )
+
+        self.dif_norm = build(dif_norm_kernel, 3, 2)
 
         # --- vector Montgomery mul: (x, y) -> x·y ------------------------
         def vmul_kernel(*refs):
@@ -146,10 +206,10 @@ class _Kernels:
             zd = pf.digits_list(z_inv_mont)
 
             def hadamard_kernel(*refs):
-                _cols, t_ref, carry, p2, _k4, k84, mul = ctx(refs)
+                _cols, t_ref, carry, p2, _k4, _k84, k192, mul = ctx(refs)
                 a, b, c = (r[...] for r in refs[1:4])
                 ab = mul(a, b)
-                num = sweep3((ab - c) + k84)
+                num = sweep3((ab - c) + k192)
                 refs[4][...] = pf.mul_const(num, zd, t_ref, carry, plus_p=p2)
 
             return build(hadamard_kernel, 3, 1)
@@ -162,7 +222,7 @@ class _Kernels:
         remont_d = pf.digits_list(c_remont)
 
         def remont_kernel(*refs):
-            _cols, t_ref, carry, p2, _k4, _k84, mul = ctx(refs)
+            _cols, t_ref, carry, p2, _k4, _k84, _k192, mul = ctx(refs)
             x = refs[1][...]
             refs[2][...] = pf.mul_const(x, remont_d, t_ref, carry, plus_p=p2)
 
@@ -172,7 +232,7 @@ class _Kernels:
         one_d = pf.digits_list(1)
 
         def tostd_kernel2(*refs):
-            cols, t_ref, carry, p2, _k4, _k84, mul = ctx(refs)
+            cols, t_ref, carry, p2, _k4, _k84, _k192, mul = ctx(refs)
             rmp_col = cols[:, _RMP : _RMP + 1]
             x = refs[1][...]
             std = pf.mul_const(x, one_d, t_ref, carry, plus_p=p2)
@@ -300,12 +360,18 @@ class PlaneNtt:
         return x
 
     def _dif(self, x, tables):
-        """Natural input -> bit-reversed output."""
-        for s in range(self.log_n - 1, -1, -1):
+        """Natural input -> bit-reversed output.
+
+        Every 4th stage runs the normalizing butterfly so the sum-side
+        value doubling never outruns the K84 difference fold (see the
+        module value ledger — this is load-bearing for correctness at
+        domains >= 2^14, not an optimization)."""
+        for j, s in enumerate(range(self.log_n - 1, -1, -1)):
             half = 1 << s
             lo, hi = self._stage_split(x, half)
             tw = self._tw_full(tables[s], half)
-            o0, o1 = self.k.dif(lo, hi, tw)
+            kern = self.k.dif_norm if j % 4 == 3 else self.k.dif
+            o0, o1 = kern(lo, hi, tw)
             x = self._stage_join(o0, o1, half)
         return x
 

@@ -48,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..fields.params import CurveParams
 from .pallas_field_v3 import BF16, F32, PlaneFieldV3, _sweep, sweep3
+from .plane_emu import use_real_interpret as _use_real_interpret
 
 EXTRA_DIGITS = 2
 
@@ -352,9 +353,12 @@ class PlaneCurve:
         assert self.B3_DIGITS_G2 is not None, "curve has no G2 twist constants"
         return self.B3_DIGITS_G2
 
-    def field_ctx(self, group, t_ref, cols, mnp=None, mp=None, mb3=None):
+    def field_ctx(self, group, t_ref, cols, mnp=None, mp=None, mb3=None,
+                  pf=None):
         cls = _G1Field if group == "g1" else _G2Field
-        return cls(self.pf, t_ref, self.b3_digits(group), cols, mnp, mp, mb3)
+        return cls(
+            pf or self.pf, t_ref, self.b3_digits(group), cols, mnp, mp, mb3
+        )
 
     # convenience wrappers used by tests (operate in plain XLA, ref-free,
     # VPU-conv backend)
@@ -405,6 +409,13 @@ def _make_pointwise(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    emu = interpret and not _use_real_interpret()
+    if emu:
+        from .plane_emu import get_emu_field
+
+        pf_k = get_emu_field(pc.curve.fq, EXTRA_DIGITS)
+    else:
+        pf_k = pc.pf
     pf = pc.pf
     R8 = pc.R8
     K = 1 if group == "g1" else 2
@@ -435,7 +446,7 @@ def _make_pointwise(
         ins = [r[...] for r in refs[base : base + n_coords]]
         outs = refs[base + n_coords : base + n_coords + 3]
         t_ref = refs[-1]
-        F = pc.field_ctx(group, t_ref, cols, mnp, mp, mb3)
+        F = pc.field_ctx(group, t_ref, cols, mnp, mp, mb3, pf=pf_k)
         KR = K * R8
         if body_arity == 2:
             P = tuple(ins[:3])
@@ -472,6 +483,29 @@ def _make_pointwise(
         outs[0][...] = X3
         outs[1][...] = Y3
         outs[2][...] = Z3
+
+    if emu:
+        # CPU backend: same kernel body, full-width, plain XLA (see
+        # ops/plane_emu.py — pallas interpret is orders of magnitude
+        # slower and arithmetic-identical for these bodies)
+        from .plane_emu import emu_call
+
+        @jax.jit
+        def run_emu(*coords):
+            n = coords[0].shape[-1]
+            outs = tuple(
+                jax.ShapeDtypeStruct((K * R8, n), F32) for _ in range(3)
+            )
+            return emu_call(
+                kernel,
+                n_coords,
+                outs,
+                (2 * R8, n),
+                [cols_c, mnp_c, mp_c, *mb3_cs],
+                list(coords),
+            )
+
+        return run_emu
 
     @jax.jit
     def run(*coords):

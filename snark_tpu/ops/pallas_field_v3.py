@@ -399,7 +399,14 @@ def make_mont_mul_v3(params: FieldParams, tile: int = 512, interpret: bool = Fal
     Canonical in, canonical out (final strict pass) — drop-in replacement
     for make_mont_mul/make_mont_mul_v2 in tests and benchmarks.
     """
-    pf = get_plane_field_v3(params)
+    from .plane_emu import use_real_interpret
+
+    if interpret and not use_real_interpret():
+        from .plane_emu import get_emu_field
+
+        pf = get_emu_field(params)
+    else:
+        pf = get_plane_field_v3(params)
     R8 = pf.R8
     L = pf.L
     cols = jnp.asarray(
@@ -414,6 +421,26 @@ def make_mont_mul_v3(params: FieldParams, tile: int = 512, interpret: bool = Fal
         out = pf.mont_mul(A, B, t_ref, carry_scale)
         out = pf.to_canonical(out, rmp)
         o_ref[...] = out.astype(jnp.int32)
+
+    if interpret and not use_real_interpret():
+        from .plane_emu import emu_call
+
+        @jax.jit
+        def run_emu(a, b):
+            n = a.shape[0]
+            a8 = digits8_from_limbs(a, L)
+            b8 = digits8_from_limbs(b, L)
+            (out,) = emu_call(
+                kernel,
+                2,
+                (jax.ShapeDtypeStruct((R8, n), jnp.int32),),
+                (2 * R8, n),
+                [cols],
+                [a8, b8],
+            )
+            return limbs_from_digits8(out, L)[:n]
+
+        return run_emu
 
     @jax.jit
     def run(a, b):

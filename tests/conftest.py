@@ -21,9 +21,16 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("SNARK_TPU_FIELD_IMPL", "u32")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in flags:
+    # 8 shard programs time-share 2 vCPUs: the default 20s/40s in-process
+    # collective rendezvous watchdog can kill the process when shards
+    # arrive minutes apart (emulation skew, not a hang)
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

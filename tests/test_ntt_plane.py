@@ -101,3 +101,80 @@ def test_remont_matches_legacy_field():
     d = jnp.pad(d, ((0, k.pf.R8 - d.shape[0]), (0, 0)))
     planes = k.remont(d)[0]
     assert k.pf.unpack_np(np.asarray(planes)) == vals
+
+
+def test_dif_sum_growth_no_underflow():
+    """Regression for the round-2 on-chip config-2 corruption: the DIF
+    sum side doubles values every stage; without the every-4th-stage
+    normalizing butterfly, adversarial (but representable) inputs push
+    |lo - hi| past the 84p fold at depth >= 2^7 and the lane silently
+    wraps mod R (observed on hardware as delta == +tw at 2^15).
+
+    Inputs here are crafted so the partial-sum imbalance is DETERMINISTIC
+    (indices ≡ 2, 3 mod 4 carry value ~p, others ~0): the unnormalized
+    pipeline would underflow at the depth-128 stage of a 512-point DIF.
+    """
+    params = BN254.fr
+    p = params.modulus
+    n = 512
+    pn = get_plane_ntt(params, n, interpret=True)
+    pf = pn.pf
+    r_inv = pow(pf.r_eff, -1, p)
+    rng = random.Random(8)
+    vals = []
+    for i in range(n):
+        # choose v so the stored wide-Mont value v·R mod p is extreme
+        target = rng.randrange(p - 5, p) if (i % 4) in (2, 3) else rng.randrange(0, 5)
+        vals.append(target * r_inv % p)
+    x = jnp.asarray(pf.pack_np(vals))
+    got = pf.unpack_np(np.asarray(pn._dif(x, pn.inv_tw)))
+
+    # host mirror of the DIF schedule (values mod p)
+    h = list(vals)
+    omega_inv = pow(params.root_of_unity(n), -1, p)
+    log_n = n.bit_length() - 1
+    for s in range(log_n - 1, -1, -1):
+        half = 1 << s
+        blocks = n // (2 * half)
+        w = pow(omega_inv, n >> (s + 1), p)
+        out = [0] * n
+        for b in range(blocks):
+            base = b * 2 * half
+            tw = 1
+            for t in range(half):
+                lo = h[base + t]
+                hi = h[base + half + t]
+                out[base + t] = (lo + hi) % p
+                out[base + half + t] = (lo - hi) * tw % p
+                tw = tw * w % p
+        h = out
+    assert got == h
+
+
+def test_hadamard_large_value_fold():
+    """The Hadamard (A·B - C) fold must cover C values up to
+    3.1p·(log2(n)+1) (DIT-fresh at big domains): K192 covers n <= 2^60.
+    Feed a C plane with value ~150p directly (> the old K84 fold)."""
+    params = BN254.fr
+    p = params.modulus
+    n = 64
+    pn = get_plane_ntt(params, n, interpret=True)
+    pf = pn.pf
+    rng = random.Random(12)
+    av = [rng.randrange(0, p) for _ in range(n)]
+    bv = [rng.randrange(0, p) for _ in range(n)]
+    cv = [rng.randrange(0, p) for _ in range(n)]
+    A = jnp.asarray(pf.pack_np(av))
+    B = jnp.asarray(pf.pack_np(bv))
+    # C with stored value = canonical + 150p (legal lazy representative)
+    c_big = np.zeros((pf.R8, n), dtype=np.float32)
+    for j, v in enumerate(cv):
+        raw = (v * pf.r_eff % p) + 150 * p
+        for i in range(pf.R8):
+            c_big[i, j] = (raw >> (8 * i)) & 0xFF
+    C = jnp.asarray(c_big)
+    got = pf.unpack_np(np.asarray(pn.hadamard(A, B, C)[0]))
+    g = params.generator
+    zinv = pow((pow(g, n, p) - 1) % p, -1, p)
+    expect = [(x * y - z) % p * zinv % p for x, y, z in zip(av, bv, cv)]
+    assert got == expect
