@@ -207,6 +207,18 @@ class PlaneMsm:
         three f32 plane gathers 3x. The f32 cast + transpose back to plane
         layout is bandwidth-cheap.
         """
+        acc3 = self._bucket_accum_impl(table, digits_t)
+        tX, tY, tZ = self._fold_block(acc3, jnp.int32(0), self.W)
+        pad = self.tile - self.W % self.tile if self.W % self.tile else 0
+        if pad:
+            tX = jnp.pad(tX, ((0, 0), (0, pad)))
+            tY = jnp.pad(tY, ((0, 0), (0, pad)))
+            tZ = jnp.pad(tZ, ((0, 0), (0, pad)))
+        return tX, tY, tZ
+
+    def _bucket_accum_impl(self, table, digits_t):
+        """Phases 1-3 (sort, searchsorted, masked scan + spill fold):
+        -> (X, Y, Z) bucket accumulators over all W·2^cb replica lanes."""
         c = self.c
         nb = 1 << self.cb
         W, n = digits_t.shape
@@ -364,68 +376,80 @@ class PlaneMsm:
             mask_sp = (inv >= 0).reshape(1, lanes).astype(F32)
             acc3 = self._masked_step(acc3, g_sp, mask_sp)
 
-        def rolled(acc3, stride):
+        return acc3
+
+    def _fold_block(self, acc3, win0, num_win: int):
+        """Phases 4: collapse replica slots + double suffix scan, on a
+        block of `num_win` whole windows starting at (traced) window index
+        `win0` -> window totals (K·R8, num_win).
+
+        Block-parametrized so the distributed MSM can shard the fold
+        phases by window after exchanging bucket accumulators (each chip
+        folds W/ndev windows instead of all W — see DistPlaneMsm).
+        """
+        nb = 1 << self.cb
+        blanes = num_win * nb
+
+        def rolled(a3, stride):
             def roll3(A):
                 return jnp.roll(
-                    A.reshape(A.shape[0], W, nb), -stride, axis=2
-                ).reshape(A.shape[0], lanes)
+                    A.reshape(A.shape[0], num_win, nb), -stride, axis=2
+                ).reshape(A.shape[0], blanes)
 
-            return tuple(roll3(a) for a in acc3)
+            return tuple(roll3(a) for a in a3)
 
-        # The fold phases below run as fori_loops with traced strides
-        # (2^j) and mask tables indexed by the loop counter — ONE traced
-        # instance of the fused-add body per phase instead of one per
-        # step. The unrolled form inlined the madd body ~20x, which blew
-        # the trace/compile budget of the CPU emu path (and bought the
-        # TPU path nothing: these phases are ~20 steps of O(lanes) work).
+        def slice_masks(masks):
+            """(steps, W·nb) np -> (steps, blanes) at window offset win0."""
+            m = jnp.asarray(np.concatenate(masks, axis=0).astype(np.float32))
+            return jax.lax.dynamic_slice(
+                m, (0, win0 * nb), (m.shape[0], blanes)
+            )
 
-        def fold_loop(acc3, masks, n_steps):
-            """acc3 <- masked_step(acc3, roll(acc3, 2^j), masks[j])."""
-            masks_f = jnp.asarray(
-                np.concatenate(masks, axis=0).astype(np.float32)
-            )  # (n_steps, lanes)
-
+        # fori_loops with traced strides (2^j) + mask tables indexed by
+        # the counter: ONE traced instance of the fused-add body per
+        # phase instead of one per step (the unrolled form inlined the
+        # madd body ~20x and blew the CPU-emu trace/compile budget).
+        def fold_loop(a3, masks_f, n_steps):
             def body(j, a3):
                 g = rolled(a3, 1 << j)
                 return self._masked_step(a3, g, masks_f[j][None, :])
 
-            return jax.lax.fori_loop(0, n_steps, body, acc3)
+            return jax.lax.fori_loop(0, n_steps, body, a3)
 
         # collapse replica slots: bucket b of window w lands at slot b·2^r
         if self.max_r:
-            acc3 = fold_loop(acc3, self.COLLAPSE, self.max_r)
+            acc3 = fold_loop(acc3, slice_masks(self.COLLAPSE), self.max_r)
 
         # Σ_b w(b)·B_b per window == double suffix scan on the coarse grid:
         # S_b = Σ_{j>=b} B_j, then Σ_{b>=1} S_b gives weight w(b) = b
         # (unsigned). Signed buckets carry weight w(b) = b+1 (bucket b holds
         # |digit| = b+1): keep S_0 in the second scan, Σ_{b>=0} S_b.
-        def scan(acc3):
-            return fold_loop(acc3, self.SCAN, self.cb)
+        scan_masks = slice_masks(self.SCAN)
+
+        def scan(a3):
+            return fold_loop(a3, scan_masks, self.cb)
 
         suffix = scan(acc3)
         if self.signed:
             seeded = suffix
         else:
             # zero out slot 0 (S_0 = Σ all; we want Σ_{b>=1} S_b)
-            idp = self.identity_planes(lanes)
+            idp = self.identity_planes(blanes)
             slot_ids = jnp.arange(nb, dtype=jnp.int32)
             is_s0 = (slot_ids == 0)[None, :]
             mask0 = (
-                jnp.broadcast_to(is_s0, (W, nb)).reshape(1, lanes).astype(F32)
+                jnp.broadcast_to(is_s0, (num_win, nb))
+                .reshape(1, blanes)
+                .astype(F32)
             )
             seeded = tuple(
                 mask0 * i + (1 - mask0) * s for i, s in zip(idp, suffix)
             )
         totals = scan(seeded)
         # window totals live at slot 0 of each window
-        tX = totals[0].reshape(-1, W, nb)[:, :, 0]
-        tY = totals[1].reshape(-1, W, nb)[:, :, 0]
-        tZ = totals[2].reshape(-1, W, nb)[:, :, 0]
-        pad = self.tile - W % self.tile if W % self.tile else 0
-        if pad:
-            tX = jnp.pad(tX, ((0, 0), (0, pad)))
-            tY = jnp.pad(tY, ((0, 0), (0, pad)))
-            tZ = jnp.pad(tZ, ((0, 0), (0, pad)))
+        tX = totals[0].reshape(-1, num_win, nb)[:, :, 0]
+        tY = totals[1].reshape(-1, num_win, nb)[:, :, 0]
+        tZ = totals[2].reshape(-1, num_win, nb)[:, :, 0]
         return tX, tY, tZ
 
     # -- phase 5: Horner window combine on device --------------------------

@@ -92,10 +92,23 @@ class DistPlaneMsm:
     # -- device pipeline ----------------------------------------------------
     def _sums_dist_impl(self, table, digits_t):
         """table (ndev·2·n_local, w) u8 (block-signed); digits_t (W, N).
-        Returns replicated (K·R8, Wpad) window-total planes."""
+        Returns replicated (K·R8, Wpad) window-total planes.
+
+        Two-phase layout: every chip bucket-accumulates its point shard
+        (phases 1-3), then the bucket accumulators are exchanged
+        window-block-wise (all_to_all) so each chip SUMS and FOLDS only
+        W/ndev windows — the collapse + double-suffix-scan work is
+        sharded instead of replicated per shard, and only the tiny
+        (K·R8, W/ndev) window totals ride the final all_gather. Falls
+        back to totals-gather when ndev does not divide W.
+        """
         plan = self.plan
         axis = self.axis
         ndev = self.ndev
+        W = plan.W
+        nb = 1 << plan.cb
+        shard_folds = W % ndev == 0 and ndev > 1
+        wpd = W // ndev if shard_folds else W
 
         @functools.partial(
             shard_map,
@@ -105,15 +118,42 @@ class DistPlaneMsm:
             check_vma=False,  # replicated by construction after the fold
         )
         def run(tbl_local, dt_local):
-            tX, tY, tZ = plan._window_sums_impl(tbl_local, dt_local)
-            g = jax.lax.all_gather(jnp.stack([tX, tY, tZ]), axis)  # (ndev,3,KR,Wpad)
+            if not shard_folds:
+                tX, tY, tZ = plan._window_sums_impl(tbl_local, dt_local)
+                g = jax.lax.all_gather(jnp.stack([tX, tY, tZ]), axis)
 
-            def body(i, acc3):
-                aX, aY, aZ = acc3
-                return plan.add(aX, aY, aZ, g[i, 0], g[i, 1], g[i, 2])
+                def body(i, acc3):
+                    aX, aY, aZ = acc3
+                    return plan.add(aX, aY, aZ, g[i, 0], g[i, 1], g[i, 2])
 
-            acc0 = (g[0, 0], g[0, 1], g[0, 2])
-            return jax.lax.fori_loop(1, ndev, body, acc0)
+                return jax.lax.fori_loop(1, ndev, body, (g[0, 0], g[0, 1], g[0, 2]))
+
+            acc3 = plan._bucket_accum_impl(tbl_local, dt_local)
+            KR = acc3[0].shape[0]
+            B = wpd * nb  # lanes per window block
+            st = jnp.stack(acc3).reshape(3, KR, ndev, B)
+            # device d keeps its own window block of every shard's partial
+            ex = jax.lax.all_to_all(
+                st, axis, split_axis=2, concat_axis=0
+            )  # (ndev, 3, KR, B): leading axis = source shard
+
+            def sum_body(s, a3):
+                p = jax.lax.dynamic_index_in_dim(ex, s, 0, keepdims=False)
+                return plan.add(*a3, p[0], p[1], p[2])
+
+            p0 = ex[0]
+            acc3 = jax.lax.fori_loop(
+                1, ndev, sum_body, (p0[0], p0[1], p0[2])
+            )
+            win0 = jax.lax.axis_index(axis).astype(jnp.int32) * wpd
+            tX, tY, tZ = plan._fold_block(acc3, win0, wpd)
+            g = jax.lax.all_gather(
+                jnp.stack([tX, tY, tZ]), axis, axis=2, tiled=True
+            )  # (3, KR, W)
+            pad = plan.tile - W % plan.tile if W % plan.tile else 0
+            if pad:
+                g = jnp.pad(g, ((0, 0), (0, 0), (0, pad)))
+            return g[0], g[1], g[2]
 
         return run(table, digits_t)
 
