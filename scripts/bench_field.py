@@ -88,7 +88,7 @@ def main():
         print(f"f32 XLA     : {dt*1e3:9.3f} ms/mul-batch  {n/dt/1e6:10.2f} M muls/s")
 
     if "pallas2" in which:
-        from snark_tpu.ops.pallas_field_v2 import make_mont_mul_v2
+        from pallas_field_v2 import make_mont_mul_v2
 
         for tile in (256, 512, 1024, 2048):
             try:

@@ -26,8 +26,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..fields.params import FieldParams
-from .pallas_field import (
+from snark_tpu.fields.params import FieldParams
+from snark_tpu.ops.pallas_field import (
     digits8_from_limbs,
     get_plane_spec,
     limbs_from_digits8,

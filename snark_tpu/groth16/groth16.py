@@ -242,17 +242,34 @@ def _padded_digits(curve: CurveParams, scalars: list[int], c: int) -> tuple:
     return digits, n
 
 
+# chunk bound for the fixed-base executions: the legacy u32 add kernel
+# materializes (6, N, L, L) limb-product intermediates, which at 2^20+
+# scalars exceeds HBM (observed: 29 GB at BLS12-381 2^21-padded). Chunks
+# share one executable (fixed shape) and concatenate on device.
+_FB_CHUNK = 1 << 16
+
+
+def _fixed_base_run(plan, table, curve, scalars) -> jnp.ndarray:
+    digits, n = _padded_digits(curve, scalars, plan.c)
+    N = digits.shape[0]
+    if N <= _FB_CHUNK:
+        return plan(table, digits)[:n]
+    outs = [
+        plan(table, digits[i : i + _FB_CHUNK])
+        for i in range(0, N, _FB_CHUNK)
+    ]
+    return jnp.concatenate(outs, axis=0)[:n]
+
+
 def _fixed_base_g1(curve: CurveParams, scalars: list[int]) -> jnp.ndarray:
     """[s_i]G1 as a device (N, 3, L) array."""
     plan, table = _g1_fixed_base(curve)
-    digits, n = _padded_digits(curve, scalars, plan.c)
-    return plan(table, digits)[:n]
+    return _fixed_base_run(plan, table, curve, scalars)
 
 
 def _fixed_base_g2(curve: CurveParams, scalars: list[int]) -> jnp.ndarray:
     plan, table = _g2_fixed_base(curve)
-    digits, n = _padded_digits(curve, scalars, plan.c)
-    return plan(table, digits)[:n]
+    return _fixed_base_run(plan, table, curve, scalars)
 
 
 def assemble_proof(g16, pk, A_sum, B_sum, B1_sum, L_sum, H_sum, r, s) -> Proof:

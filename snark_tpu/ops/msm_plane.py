@@ -519,6 +519,13 @@ def get_plane_msm(
     signed: bool = False,
     k_steps: int | None = None,
 ) -> PlaneMsm:
+    import os
+
+    # resolve the env default BEFORE the cache key: otherwise changing
+    # SNARK_TPU_MSM_K mid-process silently returns a plan built with the
+    # old k, and k_steps=None vs an equal explicit k compile twice
+    if k_steps is None:
+        k_steps = int(os.environ.get("SNARK_TPU_MSM_K", "1"))
     key = (curve.name, c, num_bits, tile, interpret, group, signed, k_steps)
     plan = _PLANS.get(key)
     if plan is None:

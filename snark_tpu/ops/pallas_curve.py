@@ -188,7 +188,16 @@ class _G2Field:
         return sweep3(m + m)
 
     def cmul_b3(self, x):
-        """(x0 + x1·u)·(k0 + k1·u): 4 const convs (MXU or VPU), 2 reduces."""
+        """(x0 + x1·u)·(k0 + k1·u): 4 const convs (MXU or VPU), 2 reduces.
+
+        VPU branch (mb3 None) digit bound: the two convolutions of each
+        component accumulate into ONE scratch, so the exact-f32 input
+        bound is HALF the G1 VPU bound — |x| digits must stay <= ~950
+        (2·255·|x|·R8 < 2^24), vs ~1900 for G1 cmul_b3. All current call
+        sites feed mul outputs/sums with |digits| <= 512. The built
+        kernels always pass mb3 (MXU branch); the VPU branch is kept for
+        ref-free composition and covered by test_g2_cmul_b3_vpu_branch.
+        """
         pf = self.pf
         t_ref = self.t_ref
         x0, x1 = self._split(x)

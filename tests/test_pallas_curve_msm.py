@@ -72,8 +72,12 @@ def test_masked_add():
     assert got == expect
 
 
-@pytest.mark.parametrize("c", [8, 10])
-def test_plane_msm(c):
+@pytest.mark.parametrize(
+    "c,k_steps",
+    [(8, 1), (8, 2), (10, 3)],
+    ids=["c8-k1", "c8-k2", "c10-k3"],
+)
+def test_plane_msm(c, k_steps):
     curve = BN254
     pc = get_plane_curve(curve)
     hc = host_g1(curve)
@@ -90,7 +94,10 @@ def test_plane_msm(c):
     scalars[:3] = [0, 1, curve.fr.modulus - 1]
     table = jnp.asarray(pack_rows_u8_host(pc, pts))
     digits = scalars_to_digits(fr.to_limbs_array(scalars), c, curve.fr.num_bits)
-    plan = get_plane_msm(curve, c, interpret=True)
+    # k_steps > 1 exercises the batched (lanes, KS) gather + per-step
+    # in-kernel masking, including the tail where max_len is not a
+    # multiple of KS (ADVICE r2: the default k=1 left it uncovered)
+    plan = get_plane_msm(curve, c, interpret=True, k_steps=k_steps)
     exp = None
     for s, pt in zip(scalars, pts):
         if pt is not None:
@@ -138,3 +145,67 @@ def test_plane_msm_signed(c):
     X, Y, Z = plan.msm(table, digits)
     got = unpack_points_host(pc, np.asarray(X), np.asarray(Y), np.asarray(Z))[0]
     assert got == exp
+
+
+def test_g2_cmul_b3_vpu_branch():
+    """The _G2Field.cmul_b3 scalar-conv (mb3=None) branch is never
+    selected by the built kernels (they always pass the MXU bands) —
+    cover it directly against the MXU branch and the host oracle
+    (ADVICE r2). Also exercises its tighter digit bound (two convs share
+    one scratch: |x| <= ~950, see the docstring)."""
+    import jax.numpy as jnp
+
+    from snark_tpu.fields.host import Fp
+    from snark_tpu.fields.towers import Fq2
+    from snark_tpu.ops.pallas_curve import _G2Field, get_plane_curve
+    from snark_tpu.ops.pallas_field_v3 import BF16, F32
+
+    curve = BN254
+    pc = get_plane_curve(curve)
+    pf = pc.pf
+    p = curve.fq.modulus
+    fq2 = Fq2(p)
+    rng = random.Random(21)
+    n = 8
+    xs = [(rng.randrange(0, p), rng.randrange(0, p)) for _ in range(n)]
+
+    X = jnp.asarray(
+        np.concatenate(
+            [pf.pack_np([x[0] for x in xs]), pf.pack_np([x[1] for x in xs])],
+            axis=0,
+        )
+    )
+    cols = jnp.asarray(pc.COLS)
+
+    class Ref:
+        def __init__(self, shape):
+            self.a = np.zeros(shape, np.float32)
+            self.shape = shape
+
+        def __getitem__(self, k):
+            # copy, NOT asarray: on CPU jnp.asarray can zero-copy-alias the
+            # numpy buffer, and the later in-place __setitem__ then races
+            # the async consumers of this read (load-dependent flake)
+            return jnp.array(self.a[k])
+
+        def __setitem__(self, k, v):
+            self.a[k] = np.asarray(v)
+
+    def run(mb3):
+        t_ref = Ref((2 * pf.R8, n))
+        F = _G2Field(pf, t_ref, pc.B3_DIGITS_G2, cols, mb3=mb3)
+        out = F.cmul_b3(X)
+        o = np.asarray(out)
+        return (
+            pf.unpack_np(o[: pf.R8]),
+            pf.unpack_np(o[pf.R8 :]),
+        )
+
+    got_vpu = run(None)
+    mb3 = tuple(jnp.asarray(m).astype(BF16) for m in pc.M_B3_G2)
+    got_mxu = run(mb3)
+    b3 = tuple(3 * v % p for v in curve.b2)
+    expect = [fq2.mul(x, b3) for x in xs]
+    for comp in (0, 1):
+        assert got_vpu[comp] == [e[comp] for e in expect]
+        assert got_mxu[comp] == [e[comp] for e in expect]

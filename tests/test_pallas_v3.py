@@ -104,7 +104,10 @@ def test_lazy_composition_chain():
             self.shape = shape
 
         def __getitem__(self, k):
-            return jnp.asarray(self.a[k])
+            # copy, NOT asarray: on CPU jnp.asarray can zero-copy-alias the
+            # numpy buffer, and the later in-place __setitem__ then races
+            # the async consumers of this read (load-dependent flake)
+            return jnp.array(self.a[k])
 
         def __setitem__(self, k, v):
             self.a[k] = np.asarray(v)

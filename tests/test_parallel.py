@@ -92,3 +92,17 @@ def test_batch_prover():
     # cross-check against the single prover
     single = g16.prove(pk, circuits[0], r=1, s=1)
     assert g16.verify_with_processed_vk(pvk, [1], single)
+
+
+def test_batch_prover_requires_rng():
+    """prove_batch without rng/rs must raise (r = s = 0 proofs have no
+    zero-knowledge) — mirrors Groth16.prove's guard and the reference's
+    CryptoRng bound (snark/src/lib.rs:16-19)."""
+    from snark_tpu.parallel import BatchProver
+
+    g16 = Groth16(BN254)
+    circuit0 = MulChainCircuit(seed=1, n=8, batch=False)
+    pk, vk = g16.circuit_specific_setup(circuit0, random.Random(32))
+    bp = BatchProver(g16, pk, mesh=None)
+    with pytest.raises(ValueError, match="zero-knowledge"):
+        bp.prove_batch([circuit0])
