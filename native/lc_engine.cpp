@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <thread>
 
 typedef unsigned __int128 u128;
 
@@ -240,33 +241,53 @@ void lc_inline_free(void *handle) { delete (InlineResult *)handle; }
 void lc_eval_rows(const FieldCtx *ctx, int64_t n, const int64_t *offsets,
                   const uint64_t *vars, const uint32_t *coeff_ids,
                   int64_t num_values, const uint64_t *values,
-                  const uint64_t *assignment /* (num_vars x 4) by global
-                  column index; caller maps variables to columns */,
+                  int64_t num_cols,
+                  const uint64_t *assignment /* (num_cols x 4) by global
+                  column index; caller maps entries to columns */,
                   const int64_t *var_to_col, uint64_t *out /* n x 4 */) {
     const FieldCtx &f = *ctx;
+    (void)vars;
     std::vector<Fp4> vals_m((size_t)num_values);
     for (int64_t i = 0; i < num_values; ++i) {
         Fp4 v;
         std::memcpy(v.v, values + 4 * i, 32);
         vals_m[(size_t)i] = mont_mul(v, f.r2, f);
     }
-    for (int64_t i = 0; i < n; ++i) {
-        Fp4 acc{{0, 0, 0, 0}};
-        for (int64_t k = offsets[i]; k < offsets[i + 1]; ++k) {
-            int64_t col = var_to_col[k];
-            if (col < 0) continue; // Zero variable
-            Fp4 av;
-            std::memcpy(av.v, assignment + 4 * col, 32);
-            Fp4 av_m = mont_mul(av, f.r2, f);
-            Fp4 prod = mont_mul(vals_m[coeff_ids[k]], av_m, f);
-            add_mod(acc, prod, f);
-        }
+    // pre-convert the assignment ONCE (the per-term conversion doubled
+    // the Montgomery-mul count at 2^23 scale)
+    std::vector<Fp4> asg_m((size_t)num_cols);
+    for (int64_t i = 0; i < num_cols; ++i) {
+        Fp4 v;
+        std::memcpy(v.v, assignment + 4 * i, 32);
+        asg_m[(size_t)i] = mont_mul(v, f.r2, f);
+    }
+    auto run_range = [&](int64_t lo, int64_t hi) {
         Fp4 one{{1, 0, 0, 0}};
-        Fp4 canon = mont_mul(acc, one, f);
-        // note: acc is (value * R) since both factors were Montgomery;
-        // one extra reduction: canon = value * R * R^{-1} = value... but
-        // mont_mul(a_m, b_m) = a*b*R, so acc = sum(a*b*R); canon strips R.
-        std::memcpy(out + 4 * i, canon.v, 32);
+        for (int64_t i = lo; i < hi; ++i) {
+            Fp4 acc{{0, 0, 0, 0}};
+            for (int64_t k = offsets[i]; k < offsets[i + 1]; ++k) {
+                int64_t col = var_to_col[k];
+                if (col < 0) continue; // Zero variable
+                Fp4 prod = mont_mul(vals_m[coeff_ids[k]], asg_m[(size_t)col], f);
+                add_mod(acc, prod, f);
+            }
+            // acc = sum(a*b*R); one extra reduction by ONE strips the R
+            Fp4 canon = mont_mul(acc, one, f);
+            std::memcpy(out + 4 * i, canon.v, 32);
+        }
+    };
+    unsigned hw = std::thread::hardware_concurrency();
+    int64_t nthreads = hw ? (int64_t)hw : 1;
+    if (nthreads > 1 && n >= 4096) {
+        std::vector<std::thread> ts;
+        int64_t chunk = (n + nthreads - 1) / nthreads;
+        for (int64_t t = 0; t < nthreads; ++t) {
+            int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+            if (lo < hi) ts.emplace_back(run_range, lo, hi);
+        }
+        for (auto &t : ts) t.join();
+    } else {
+        run_range(0, n);
     }
 }
 

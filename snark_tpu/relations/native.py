@@ -77,6 +77,13 @@ def get_lib():
             fn.argtypes = [ctypes.c_void_p]
         lib.lc_synth_fetch.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 5
         lib.lc_synth_free.argtypes = [ctypes.c_void_p]
+        lib.lc_eval_rows.restype = None
+        lib.lc_eval_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _LIB = lib
         return _LIB
 
@@ -215,3 +222,53 @@ class NativeSynthesizer:
         finally:
             self.lib.lc_synth_free(h)
         return offsets, vars_, coeff_ids, values, arg_vars
+
+
+class NativeEvaluator:
+    """Batched LC evaluation against an assignment: the witness-solving /
+    satisfiability hot loop at scale (VERDICT r2 item 10; mirrors
+    ark-relations' eval_lc, assignment.rs:40-52, across all rows at
+    once). Values and assignment are canonical ints; the C++ side runs
+    4x64 CIOS Montgomery dot products."""
+
+    def __init__(self, modulus: int):
+        self.lib = get_lib()
+        if self.lib is None:
+            raise RuntimeError("native engine unavailable")
+        self.modulus = modulus
+        self._ctx = ctypes.create_string_buffer(self.lib.lc_field_ctx_size())
+        self.lib.lc_field_init(self._ctx, _to_u64x4([modulus]).ctypes.data)
+
+    def eval_rows(
+        self,
+        offsets: np.ndarray,     # (n+1,) int64 CSR row offsets
+        vars_: np.ndarray,       # (nnz,) uint64 packed Variable tags
+        coeff_ids: np.ndarray,   # (nnz,) uint32 interner slots
+        values_u64x4: np.ndarray,  # (num_values, 4) canonical interner table
+        assignment_u64x4: np.ndarray,  # (num_cols, 4) canonical values
+        var_to_col: np.ndarray,  # (nnz,) int64 column per entry (-1 = Zero)
+    ) -> np.ndarray:
+        n = offsets.shape[0] - 1
+        offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        vars_ = np.ascontiguousarray(vars_, dtype=np.uint64)
+        coeff_ids = np.ascontiguousarray(coeff_ids, dtype=np.uint32)
+        values_u64x4 = np.ascontiguousarray(values_u64x4, dtype=np.uint64)
+        assignment_u64x4 = np.ascontiguousarray(
+            assignment_u64x4, dtype=np.uint64
+        )
+        var_to_col = np.ascontiguousarray(var_to_col, dtype=np.int64)
+        out = np.zeros((n, 4), dtype=np.uint64)
+        self.lib.lc_eval_rows(
+            self._ctx, n, offsets.ctypes.data, vars_.ctypes.data,
+            coeff_ids.ctypes.data, values_u64x4.shape[0],
+            values_u64x4.ctypes.data, assignment_u64x4.shape[0],
+            assignment_u64x4.ctypes.data, var_to_col.ctypes.data,
+            out.ctypes.data,
+        )
+        return out
+
+
+def get_evaluator(modulus: int) -> "NativeEvaluator | None":
+    if get_lib() is None:
+        return None
+    return NativeEvaluator(modulus)

@@ -148,3 +148,53 @@ def test_native_synthesizer_layout():
     # compactify (sort + merge)
     assert len(o2) == len(off)
     assert o2[-1] <= off[-1]
+
+
+def test_native_eval_rows():
+    """lc_eval_rows (batched sparse dot vs an assignment) matches the
+    Python oracle — the witness-solving hot loop at scale (VERDICT r2
+    item 10; mirrors assignment.rs:40-52)."""
+    import numpy as np
+
+    from snark_tpu.fields import BN254_FR
+    from snark_tpu.relations.native import get_evaluator, _to_u64x4, _from_u64x4
+
+    p = BN254_FR.modulus
+    ev = get_evaluator(p)
+    if ev is None:
+        import pytest
+
+        pytest.skip("native engine unavailable")
+    rng = random.Random(3)
+    num_cols = 20
+    assignment = [rng.randrange(0, p) for _ in range(num_cols)]
+    values = [1, p - 1] + [rng.randrange(0, p) for _ in range(6)]
+    rows = []
+    for _ in range(12):
+        k = rng.randrange(0, 6)
+        rows.append(
+            [(rng.randrange(0, len(values)), rng.randrange(-1, num_cols))
+             for _ in range(k)]
+        )
+    offsets = np.zeros(len(rows) + 1, dtype=np.int64)
+    cid, col = [], []
+    for i, row in enumerate(rows):
+        for c_id, c_col in row:
+            cid.append(c_id)
+            col.append(c_col)
+        offsets[i + 1] = len(cid)
+    out = ev.eval_rows(
+        offsets,
+        np.zeros(len(cid), dtype=np.uint64),
+        np.asarray(cid, dtype=np.uint32),
+        _to_u64x4(values),
+        _to_u64x4(assignment),
+        np.asarray(col, dtype=np.int64),
+    )
+    got = _from_u64x4(out)
+    expect = [
+        sum(values[c_id] * (assignment[c_col] if c_col >= 0 else 0)
+            for c_id, c_col in row) % p
+        for row in rows
+    ]
+    assert got == expect
