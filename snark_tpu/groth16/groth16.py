@@ -40,7 +40,12 @@ from ..ops.msm import (
 )
 from ..ops.msm_plane import get_plane_msm, pick_window_plane
 from ..ops.ntt_plane import _bit_reverse_indices, get_plane_ntt
-from ..ops.pallas_curve import get_plane_curve, table_from_query_u32
+from ..ops.pallas_curve import (
+    get_plane_curve,
+    pack_rows_u8_host,
+    table_from_query_u32,
+)
+from ..ops.fixed_base_plane import get_plane_fixed_base
 from ..ops.pallas_field_v3 import F32
 from ..ops.pallas_field import digits8_from_limbs
 from ..relations import (
@@ -308,6 +313,40 @@ class Groth16:
         return self._wm_plans[n]
 
     # ------------------------------------------------------------------
+    def _query_and_table(self, scalars, group: str = "g1", perm=None):
+        """[s_i]·G for one setup query vector -> (u32 query array,
+        u8 plane-MSM row table).
+
+        Plane fixed-base path for large vectors (SNARK_TPU_SETUP_PLANE=0
+        forces legacy); both representations are derived from one host
+        affine list so the u8 table bytes are identical to the legacy
+        table_from_query_u32 output (same pack_rows_u8_host codec).
+        """
+        import os
+
+        ops = self.g1_ops if group == "g1" else self.g2_ops
+        pc = get_plane_curve(self.curve)
+        use_plane = (
+            len(scalars) >= 2048
+            and os.environ.get("SNARK_TPU_SETUP_PLANE", "1") == "1"
+        )
+        if use_plane:
+            affs = get_plane_fixed_base(self.curve, group).affine(scalars)
+            query = ops.pack_affine_host(affs)
+            affs_t = (
+                [affs[j] if j >= 0 else None for j in perm]
+                if perm is not None
+                else affs
+            )
+            tbl = jnp.asarray(pack_rows_u8_host(pc, affs_t, group))
+            return query, tbl
+        fb = _fixed_base_g1 if group == "g1" else _fixed_base_g2
+        query = fb(self.curve, scalars)
+        tbl = jnp.asarray(
+            table_from_query_u32(pc, ops, query, group, perm=perm)
+        )
+        return query, tbl
+
     def circuit_specific_setup(self, circuit, rng: random.Random):
         """-> (ProvingKey, VerifyingKey). Mirrors SNARK::circuit_specific_setup
         (snark/src/lib.rs:43-46) with the canonical call shape of SURVEY §3.1."""
@@ -353,12 +392,22 @@ class Groth16:
             h_scalars.append(t_pow * zd % p)
             t_pow = t_pow * tau % p
 
-        # G1/G2 queries via device fixed-base MSM
-        a_query = _fixed_base_g1(self.curve, u)
-        b_g1_query = _fixed_base_g1(self.curve, v)
-        b_g2_query = _fixed_base_g2(self.curve, v)
-        h_query = _fixed_base_g1(self.curve, h_scalars)
-        l_query = _fixed_base_g1(self.curve, l_scalars)
+        # G1/G2 queries + u8 MSM row tables via device fixed-base MSM.
+        # Large setups run on the fused-Pallas plane path (one u8 row
+        # gather + in-VMEM mixed add per lane·window — ~2-3 s per 2^20
+        # query vs ~10 min on the legacy u32 kernels); both products
+        # (u32 query array, u8 table) are packed from ONE host affine
+        # conversion (vectorized unpack + Montgomery batch inversion).
+        rev = _bit_reverse_indices(n)
+        # h_tbl row k holds the point for coefficient bitrev(k) (the plane
+        # NTT's h pipeline emits h in bit-reversed order; coeff n-1 is
+        # structurally zero and has no query point -> identity row)
+        h_perm = [int(rev[k]) if rev[k] < n - 1 else -1 for k in range(n)]
+        a_query, a_tbl = self._query_and_table(u)
+        b_g1_query, b_g1_tbl = self._query_and_table(v)
+        b_g2_query, b_g2_tbl = self._query_and_table(v, group="g2")
+        h_query, h_tbl = self._query_and_table(h_scalars, perm=h_perm)
+        l_query, l_tbl = self._query_and_table(l_scalars)
         gamma_abc_pts = self.g1_ops.to_affine_host(
             _fixed_base_g1(self.curve, gamma_abc)
         )
@@ -380,24 +429,6 @@ class Groth16:
         mat_a = PaddedCsr.from_rows(matrices[0], fr_params, nc)
         mat_b = PaddedCsr.from_rows(matrices[1], fr_params, nc)
         mat_c = PaddedCsr.from_rows(matrices[2], fr_params, nc)
-
-        # u8 affine row tables for the fused-Pallas plane MSM (host batch
-        # inversion; one-time setup cost, persisted via save/load)
-        pc = get_plane_curve(self.curve)
-        a_tbl = jnp.asarray(table_from_query_u32(pc, self.g1_ops, a_query))
-        b_g1_tbl = jnp.asarray(table_from_query_u32(pc, self.g1_ops, b_g1_query))
-        b_g2_tbl = jnp.asarray(
-            table_from_query_u32(pc, self.g2_ops, b_g2_query, "g2")
-        )
-        # h_tbl row k holds the point for coefficient bitrev(k) (the plane
-        # NTT's h pipeline emits h in bit-reversed order; coeff n-1 is
-        # structurally zero and has no query point -> identity row)
-        rev = _bit_reverse_indices(n)
-        h_perm = [int(rev[k]) if rev[k] < n - 1 else -1 for k in range(n)]
-        h_tbl = jnp.asarray(
-            table_from_query_u32(pc, self.g1_ops, h_query, perm=h_perm)
-        )
-        l_tbl = jnp.asarray(table_from_query_u32(pc, self.g1_ops, l_query))
 
         pk = ProvingKey(
             vk=vk,
