@@ -402,9 +402,12 @@ class ConstraintSystem:
                 start_idx, start_idx + len(push_rows), dtype=np.uint64
             )
             # columnar append (vectorized): gather the pushed rows' terms
-            sel = np.zeros(len(vars_), dtype=bool)
-            for r in push_rows:  # ranges are short; could be vectorized further
-                sel[indptr[r] : indptr[r + 1]] = True
+            # range-mask via +1/-1 boundary markers + prefix sum (no
+            # per-row Python loop — measurable at 2^23 rows)
+            marks = np.zeros(len(vars_) + 1, dtype=np.int64)
+            np.add.at(marks, indptr[push_rows], 1)
+            np.add.at(marks, indptr[push_rows + 1], -1)
+            sel = np.cumsum(marks[:-1]) > 0
             self.lc_map.vars.extend(int(x) for x in vars_[sel])
             self.lc_map.coeff_ids.extend(int(x) for x in coeff_ids[sel])
             base = self.lc_map.offsets[-1]
