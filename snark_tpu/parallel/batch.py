@@ -60,9 +60,13 @@ class BatchProver:
         self.W = self.msm_g1.W
         self._core = jax.jit(self._core_impl)
 
-    def _one_proof(self, zm, zd):
-        """zm (M, L) u32 mont, zd (M, W) uint32 -> stacked (5, 3, K·R8)
-        MSM totals (projective wide-Mont planes, lane 0)."""
+    def _h_digits(self, zm):
+        """zm (M, L) u32 mont -> (n, 32) uint32 c=8 digit planes of h.
+
+        The matvec + plane-NTT h pipeline of one proof (shared by
+        _one_proof and the multichip dry-run's dp-sharded stage, which
+        exercises the dp sharding without compiling the batched MSM
+        programs)."""
         pk = self.pk
         plan = self.plan
         pn = self.pn
@@ -79,6 +83,23 @@ class BatchProver:
         b_evals = jnp.concatenate([b_rows, zeros_inst, zeros_pad], axis=0)
         c_evals = jnp.concatenate([c_rows, zeros_inst, zeros_pad], axis=0)
 
+        def to_planes(evals_u32):
+            d = digits8_from_limbs(evals_u32, df.L).astype(F32)
+            d = jnp.pad(d, ((0, pn.pf.R8 - d.shape[0]), (0, 0)))
+            return pn.k.remont(d)[0]
+
+        h_bitrev = pn._h_impl(
+            to_planes(a_evals), to_planes(b_evals), to_planes(c_evals)
+        )
+        h_std = pn.k.tostd(h_bitrev)[0]
+        return h_std[:32].T.astype(jnp.uint32)  # (n, 32): c=8 windows
+
+    def _one_proof(self, zm, zd):
+        """zm (M, L) u32 mont, zd (M, W) uint32 -> stacked (5, 3, K·R8)
+        MSM totals (projective wide-Mont planes, lane 0)."""
+        pk = self.pk
+        ni = pk.num_instance
+
         def msm(plan_m, tbl, digits):
             tX, tY, tZ = plan_m._sums(tbl, digits.T)
             X, Y, Z = plan_m._combine(tX, tY, tZ, plan_m.W)
@@ -89,21 +110,37 @@ class BatchProver:
         if self.lite:
             return a, b
 
-        def to_planes(evals_u32):
-            d = digits8_from_limbs(evals_u32, df.L).astype(F32)
-            d = jnp.pad(d, ((0, pn.pf.R8 - d.shape[0]), (0, 0)))
-            return pn.k.remont(d)[0]
-
-        h_bitrev = pn._h_impl(
-            to_planes(a_evals), to_planes(b_evals), to_planes(c_evals)
-        )
-        h_std = pn.k.tostd(h_bitrev)[0]
-        h_digits = h_std[:32].T.astype(jnp.uint32)  # (n, 32): c=8 windows
-
+        h_digits = self._h_digits(zm)
         b1 = msm(self.msm_g1, pk.b_g1_tbl, zd)
         ll = msm(self.msm_g1, pk.l_tbl, zd[ni:])
         h = msm(self.msm_g1, pk.h_tbl, h_digits)
         return jnp.stack([a, b1, ll, h]), b  # G1 stack + G2 separately
+
+    def h_core(self):
+        """Jitted dp-sharded batched h pipeline: (B, M, L) -> (B, n, 32).
+
+        The matvec + plane-NTT portion of the batched prover under the
+        same dp shard_map as _core — the multichip dry-run's dp stage
+        (full batched-MSM compiles are covered by the slow dist tests)."""
+        if getattr(self, "_h_core", None) is None:
+            def impl(z_mont):
+                body = self._h_digits
+                if self.mesh is not None:
+                    @functools.partial(
+                        shard_map,
+                        mesh=self.mesh,
+                        in_specs=(P(self.axis),),
+                        out_specs=P(self.axis),
+                        check_vma=False,
+                    )
+                    def run(zm):
+                        return jax.lax.map(body, zm)
+
+                    return run(z_mont)
+                return jax.lax.map(body, z_mont)
+
+            self._h_core = jax.jit(impl)
+        return self._h_core
 
     def _core_impl(self, z_mont, z_digits):
         """z_mont (B, M, L), z_digits (B, M, W) -> per-proof MSM totals."""
