@@ -68,20 +68,9 @@ def main():
     # distribution does not affect the group-op cost; it enables an exact
     # host correctness check without N host scalar-muls)
     pool = [hc.scalar_mul(hc.generator, k + 1) for k in range(64)]
-    if signed:
-        # signed layout: rows [0, N) = points, [N, 2N) = negations
-        rows64 = pack_rows_u8_host(pc, pool)
-        from snark_tpu.ops.pallas_curve import negate_points_host
-
-        neg64 = pack_rows_u8_host(pc, negate_points_host(curve, pool))
-        table = jnp.asarray(
-            np.concatenate(
-                [np.tile(rows64, (n // 64, 1)), np.tile(neg64, (n // 64, 1))],
-                axis=0,
-            )
-        )
-    else:
-        table = jnp.asarray(np.tile(pack_rows_u8_host(pc, pool), (n // 64, 1)))
+    # one N-row positive table for BOTH modes: signed digits carry their
+    # sign in the gather payload and the kernel negates Y in-kernel
+    table = jnp.asarray(np.tile(pack_rows_u8_host(pc, pool), (n // 64, 1)))
 
     scalars = [rng.randrange(0, curve.fr.modulus) for _ in range(n)]
     nbits = curve.fr.num_bits
@@ -92,7 +81,9 @@ def main():
     digits = jnp.asarray(to_digits(fr.to_limbs_array(scalars), c, nbits))
     W = digits.shape[1]
 
-    plan = get_plane_msm(curve, c, signed=signed)
+    tile_env = os.environ.get("BENCH_TILE", "")
+    tile = int(tile_env) if tile_env else None  # None = auto pick
+    plan = get_plane_msm(curve, c, signed=signed, tile=tile)
 
     # warmup / compile
     X, Y, Z = plan.msm(table, digits)

@@ -207,7 +207,9 @@ def main():
     X = jnp.zeros((R8, LAN), F32)
     Y = jnp.broadcast_to(jnp.asarray(pf.ONE_MONT_COL), (R8, LAN))
     Z = jnp.zeros((R8, LAN), F32)
-    mask = jnp.ones((1, LAN), F32)
+    mask = jnp.concatenate(
+        [jnp.ones((1, LAN), F32), jnp.zeros((1, LAN), F32)], axis=0
+    )
 
     @jax.jit
     def madd_chain(X, Y, Z, rows, mask):

@@ -43,7 +43,7 @@ def main():
     lanes = W * nb
     KR = plan.K * plan.pc.R8
 
-    table = jnp.zeros((2 * n, 2 * KR + 1), jnp.uint8)
+    table = jnp.zeros((n, 2 * KR + 1), jnp.uint8)
     scalars = [rng.randrange(0, curve.fr.modulus) for _ in range(n)]
     digits_t = jnp.asarray(
         scalars_to_digits_signed(fr.to_limbs_array(scalars), 13, curve.fr.num_bits)

@@ -141,66 +141,76 @@ def config3():
 
 
 def config4():
-    """Distributed prove pieces over the device mesh (BASELINE config 4):
-    the partitioned MSM (points/digits sharded, all_gather window combine)
-    and the six-step NTT (all_to_all stage transposes), timed on a 1-device
-    mesh vs the full mesh. Scaling efficiency = t1 / (N * tN). On this
-    image the mesh is whatever jax.devices() offers (8 virtual CPU devices
-    or 1 real chip); the code path is the real multi-host one."""
+    """Distributed prove pieces over the device mesh (BASELINE config 4),
+    on the PRODUCTION plane dist stack: DistPlaneMsm (point-sharded fused
+    bucket pipeline, window-block all_to_all + sharded folds) and
+    DistPlaneNtt (six-step, 3 all_to_all), timed on a 1-device mesh vs the
+    full mesh. Scaling efficiency = t1 / (N * tN). On this image the mesh
+    is whatever jax.devices() offers (8 virtual CPU devices or 1 real
+    chip); the code path is the real multi-host one."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from snark_tpu.fields import BLS12_381, BN254, BN254_FR, Fp
-    from snark_tpu.groth16 import Groth16
-    from snark_tpu.ops.msm import scalars_to_digits, pick_window
-    from snark_tpu.parallel import DistNttPlan, make_mesh
-    from snark_tpu.parallel.dist_msm import sharded_msm
+    from snark_tpu.fields import BN254, BN254_FR, Fp
+    from snark_tpu.ops.curve_host import host_g1
+    from snark_tpu.ops.msm import scalars_to_digits_signed
+    from snark_tpu.ops.msm_plane import pick_window_plane_signed
+    from snark_tpu.ops.pallas_curve import get_plane_curve, pack_rows_u8_host
+    from snark_tpu.parallel import make_mesh
+    from snark_tpu.parallel.plane_dist import DistPlaneMsm, DistPlaneNtt
 
     log_n = int(os.environ.get("CONFIG4_LOG_N", "12"))
     n = 1 << log_n
     ndev = len(jax.devices())
-    g16 = Groth16(BN254)
+    curve = BN254
     fr = Fp(BN254_FR)
     rng = random.Random(3)
+    pc = get_plane_curve(curve)
+    hc = host_g1(curve)
+    pool = [hc.scalar_mul(hc.generator, k + 1) for k in range(64)]
+    rows = np.tile(pack_rows_u8_host(pc, pool), (n // 64, 1))
     scalars = [fr.rand(rng) for _ in range(n)]
-    c = pick_window(max(n // ndev, 2))
-    digits = np.asarray(scalars_to_digits(fr.to_limbs_array(scalars), c,
-                                          BN254.fr.num_bits))
-    pts = jnp.broadcast_to(
-        g16.g1_ops.pack_affine_host([g16.hg1.generator])[0],
-        (n, 3, g16.g1_ops.df.L),
+    c = int(os.environ.get(
+        "CONFIG4_C", str(pick_window_plane_signed(max(n // ndev, 256)))
+    ))
+    digits = np.asarray(
+        scalars_to_digits_signed(
+            fr.to_limbs_array(scalars), c, curve.fr.num_bits
+        )
     )
+    iters = int(os.environ.get("CONFIG4_ITERS", "3"))
 
     def time_msm(mesh_n):
         mesh = make_mesh((mesh_n,), ("tp",))
-        total = sharded_msm(g16.g1_ops, mesh, "tp", pts, digits, c=c)
-        jax.block_until_ready(total)  # compile + warm
+        dm = DistPlaneMsm(curve, c, mesh, "tp", signed=True)
+        tbl = dm.shard_table(rows)
+        jax.block_until_ready(dm.window_sums(tbl, digits))  # compile + warm
         t0 = time.time()
-        for _ in range(3):
-            jax.block_until_ready(
-                sharded_msm(g16.g1_ops, mesh, "tp", pts, digits, c=c)
-            )
-        return (time.time() - t0) / 3
+        for _ in range(iters):
+            jax.block_until_ready(dm.window_sums(tbl, digits))
+        return (time.time() - t0) / iters
 
     t1 = time_msm(1)
     tn = time_msm(ndev) if ndev > 1 else t1
     eff_msm = t1 / (ndev * tn)
 
-    # six-step NTT over the mesh
-    n1 = max(ndev, 2)
+    # six-step plane NTT over the mesh
+    n1 = 1 << (log_n // 2)
+    while n1 % ndev or (n // n1) % ndev:
+        n1 *= 2
     n2 = n // n1
-    coeffs = [fr.rand(rng) for _ in range(n1 * n2)]
+    coeffs = [fr.rand(rng) for _ in range(n)]
 
     def time_ntt(mesh_n):
         mesh = make_mesh((mesh_n,), ("sp",))
-        plan = DistNttPlan(BN254_FR, n1, n2, mesh, "sp")
-        x = plan.df.array(coeffs)
-        jax.block_until_ready(plan.fft(x))
+        dn = DistPlaneNtt(BN254_FR, n1, n2, mesh, "sp")
+        x = jnp.asarray(dn.pf.pack_np(coeffs))
+        jax.block_until_ready(dn.fft(x))
         t0 = time.time()
-        for _ in range(3):
-            jax.block_until_ready(plan.fft(x))
-        return (time.time() - t0) / 3
+        for _ in range(iters):
+            jax.block_until_ready(dn.fft(x))
+        return (time.time() - t0) / iters
 
     s1 = time_ntt(1)
     sn = time_ntt(ndev) if ndev > 1 else s1
@@ -209,10 +219,11 @@ def config4():
         json.dumps(
             {
                 "config": 4,
-                "desc": "distributed MSM + six-step NTT over mesh",
+                "desc": "distributed plane MSM + six-step plane NTT over mesh",
                 "n": n,
                 "devices": ndev,
                 "backend": jax.default_backend(),
+                "window_bits": c,
                 "msm_1dev_s": round(t1, 4),
                 "msm_ndev_s": round(tn, 4),
                 "msm_scaling_eff": round(eff_msm, 3),

@@ -37,8 +37,14 @@ from ..ops.msm import (
     msm_host_combine,
     pick_window,
     scalars_to_digits,
+    scalars_to_digits_signed,
+    signed_digits_from_u8_planes,
 )
-from ..ops.msm_plane import get_plane_msm, pick_window_plane
+from ..ops.msm_plane import (
+    get_plane_msm,
+    pick_window_plane,
+    pick_window_plane_signed,
+)
 from ..ops.ntt_plane import _bit_reverse_indices, get_plane_ntt
 from ..ops.pallas_curve import (
     get_plane_curve,
@@ -326,8 +332,12 @@ class Groth16:
 
         ops = self.g1_ops if group == "g1" else self.g2_ops
         pc = get_plane_curve(self.curve)
+        # SNARK_TPU_SETUP_PLANE_MIN lets tests force the plane path at
+        # small sizes (the h-table perm branch is otherwise only reachable
+        # with domain >= the default threshold)
+        plane_min = int(os.environ.get("SNARK_TPU_SETUP_PLANE_MIN", "2048"))
         use_plane = (
-            len(scalars) >= 2048
+            len(scalars) >= plane_min
             and os.environ.get("SNARK_TPU_SETUP_PLANE", "1") == "1"
         )
         if use_plane:
@@ -643,26 +653,44 @@ class Groth16:
             h_mont = plan.h_from_evals(a_evals, b_evals, c_evals)  # (n, K)
             h_std = df.from_mont(h_mont[: n - 1])
         if m >= plane_min:
-            # fused-Pallas plane MSM (the production path; c >= 8 so the
-            # W·2^c bucket lanes amortize)
-            c_z = pick_window_plane(m)
-            z_digits = jnp.asarray(scalars_to_digits(z_limbs, c_z, nbits))
+            # fused-Pallas plane MSM (the production path) with SIGNED
+            # (balanced) digits: one extra window bit at the same bucket
+            # budget (c=13 signed: 20 windows vs 26 unsigned at 2^20, and
+            # the h MSM drops from 32 unsigned-c=8 windows to 20); the
+            # point tables stay N positive rows — signs ride the gather
+            # payload and the kernel negates Y in-kernel.
+            c_z = pick_window_plane_signed(m)
+            z_digits = jnp.asarray(
+                scalars_to_digits_signed(z_limbs, c_z, nbits)
+            )
             tick("z digits")
-            plan_g1 = get_plane_msm(self.curve, c_z, nbits)
-            plan_g2 = get_plane_msm(self.curve, c_z, nbits, group="g2")
-            A_sum = plan_g1.msm_host(pk.a_tbl, z_digits, self.hg1)
+            plan_g1 = get_plane_msm(self.curve, c_z, nbits, signed=True)
+            plan_g2 = get_plane_msm(
+                self.curve, c_z, nbits, group="g2", signed=True
+            )
+            # h digits come straight off the canonical digit planes on
+            # device (same signed c as the z MSMs)
+            h_digits = signed_digits_from_u8_planes(h_std_planes, c_z, nbits)
+            plan_h = plan_g1
+            # dispatch ALL five window-sum pipelines before any host sync:
+            # the readbacks below then overlap host Horner of MSM k with
+            # device compute of MSM k+1
+            sA = plan_g1.window_sums(pk.a_tbl, z_digits)
+            sB = plan_g2.window_sums(pk.b_g2_tbl, z_digits)
+            sB1 = plan_g1.window_sums(pk.b_g1_tbl, z_digits)
+            sL = plan_g1.window_sums(pk.l_tbl, z_digits[ni:])
+            sH = plan_h.window_sums(pk.h_tbl, h_digits)
+            tick("MSM dispatch x5")
+            W = int(z_digits.shape[1])
+            A_sum = plan_g1.combine_host(sA, W, self.hg1)
             tick("MSM A (g1)")
-            B_sum = plan_g2.msm_host(pk.b_g2_tbl, z_digits, self.hg2)
+            B_sum = plan_g2.combine_host(sB, W, self.hg2)
             tick("MSM B (g2)")
-            B1_sum = plan_g1.msm_host(pk.b_g1_tbl, z_digits, self.hg1)
-            L_sum = plan_g1.msm_host(pk.l_tbl, z_digits[ni:], self.hg1)
+            B1_sum = plan_g1.combine_host(sB1, W, self.hg1)
+            L_sum = plan_g1.combine_host(sL, W, self.hg1)
             tick("MSM B1+L (g1)")
-            # c = 8 windows are literally the canonical digit planes
-            c_h = 8
-            h_digits = h_std_planes[:32].T.astype(jnp.uint32)  # (n, 32)
-            plan_h = get_plane_msm(self.curve, c_h, nbits)
-            H_sum = plan_h.msm_host(pk.h_tbl, h_digits, self.hg1)
-            tick("MSM H (g1 c=8)")
+            H_sum = plan_h.combine_host(sH, int(h_digits.shape[1]), self.hg1)
+            tick("MSM H (g1)")
         else:
             # small circuits: the bucket-lane setup of the plane MSM
             # (W·2^c lanes) dwarfs N — use the legacy batched-XLA path

@@ -23,8 +23,6 @@ pack_affine_host, u8 MSM row tables via pack_rows_u8_host).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -128,7 +126,10 @@ class PlaneFixedBase:
             jnp.broadcast_to(jnp.asarray(one), (KR, n)),
             jnp.zeros((KR, n), F32),
         )
-        ones_mask = jnp.ones((1, n), F32)
+        # (2, n): add mask ‖ sign plane (no negation in the fixed-base walk)
+        ones_mask = jnp.concatenate(
+            [jnp.ones((1, n), F32), jnp.zeros((1, n), F32)], axis=0
+        )
 
         def body(w, acc3):
             idx = jnp.take(digits, w, axis=1).astype(jnp.int32) + w * 256

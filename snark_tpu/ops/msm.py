@@ -115,6 +115,50 @@ def digits_from_limbs_device(limbs: jnp.ndarray, c: int, num_bits: int) -> jnp.n
     return digits[:, :W]
 
 
+def signed_digits_from_u8_planes(
+    planes, c: int, num_bits: int
+):
+    """Device-side balanced window extraction from base-256 digit planes.
+
+    planes (R8, N) f32/int canonical u8 digits (standard form, value < p,
+    any row order) -> (N, W) int32 balanced digits, bit-identical to
+    scalars_to_digits_signed on the same values. This is the prover's h
+    path: the plane NTT emits h as canonical u8 digit planes, and signed
+    c-bit digits (c=13: 20 windows vs 32 at unsigned c=8) come straight
+    off the planes without a host round trip.
+    """
+    d = jnp.asarray(planes).astype(jnp.int32)  # (R8, N)
+    R8 = d.shape[0]
+    w_u = -(-num_bits // c)
+    b_top = num_bits - (w_u - 1) * c
+    W = w_u + 1 if b_top >= c else w_u
+    mask = jnp.int32((1 << c) - 1)
+    rows = []
+    for j in range(w_u):
+        a, r = divmod(c * j, 8)
+        acc = d[a] >> r
+        bits = 8 - r
+        k = 1
+        while bits < c and a + k < R8:
+            acc = acc | (d[a + k] << bits)
+            bits += 8
+            k += 1
+        rows.append(acc & mask)
+    if W > w_u:
+        rows.append(jnp.zeros_like(rows[0]))
+    # balance: borrow from the next window so |digit| <= 2^(c-1); the
+    # last window absorbs the final carry (mirrors scalars_to_digits_signed)
+    half = jnp.int32(1 << (c - 1))
+    carry = jnp.zeros_like(rows[0])
+    out = []
+    for j in range(W - 1):
+        v = rows[j] + carry
+        carry = (v > half).astype(jnp.int32)
+        out.append(v - (carry << c))
+    out.append(rows[W - 1] + carry)
+    return jnp.stack(out, axis=1)  # (N, W) int32
+
+
 class MsmPlan:
     """Jitted MSM executor for one (curve-ops, c) pair.
 

@@ -56,7 +56,7 @@ class PlaneMsm:
         curve: CurveParams,
         c: int,
         num_bits: int | None = None,
-        tile: int = 256,
+        tile: int | None = None,
         interpret: bool | None = None,
         group: str = "g1",
         signed: bool = False,
@@ -68,8 +68,39 @@ class PlaneMsm:
         self.group = group
         self.K = 1 if group == "g1" else 2
         self.num_bits = num_bits or curve.fr.num_bits
-        self.tile = tile
         self.signed = signed
+
+        # window/bucket geometry first (the auto tile pick needs lanes):
+        # signed (balanced) digits use bucket index = |digit| - 1, so only
+        # 2^(c-1) bucket slots per window (cb bucket bits); signs ride the
+        # gather payload and the kernel negates Y in-kernel. Weighting
+        # shifts from b to b+1, absorbed by keeping S_0 in the second
+        # suffix scan (see _window_sums_impl).
+        cb = self.cb = c - 1 if signed else c
+        nb = 1 << cb
+        if signed:
+            w_u = -(-self.num_bits // c)
+            b_top = self.num_bits - (w_u - 1) * c
+            if b_top >= c:
+                W = w_u + 1
+                bits_w = [cb] * w_u + [0]
+            else:
+                W = w_u
+                bits_w = [cb] * (W - 1) + [min(b_top, cb)]
+        else:
+            W = -(-self.num_bits // c)
+            bits_w = [min(c, self.num_bits - w * c) for w in range(W)]
+        self.W = W
+
+        if tile is None:
+            # bigger tiles amortize per-op scheduling/latency (measured:
+            # 19.6 -> 20.3 M adds/s at 2^20 going 256 -> 1024); capped at
+            # 1024 (2048 failed to build) and constrained to divide the
+            # bucket-lane count
+            tile = next(
+                (t for t in (1024, 512, 256) if (W * nb) % t == 0), 256
+            )
+        self.tile = tile
         self.madd = make_masked_add(curve, tile, interpret, group=group)
         import os
 
@@ -90,26 +121,6 @@ class PlaneMsm:
         self.add = make_point_add(curve, tile, interpret, group=group)
         self.dbl = make_point_double(curve, tile, interpret, group=group)
 
-        # signed (balanced) digits: bucket index = |digit| - 1, so only
-        # 2^(c-1) bucket slots per window (cb bucket bits); negative digits
-        # gather from the negated half of a 2N-row point table. Weighting
-        # shifts from b to b+1, which the double-suffix-scan absorbs by
-        # keeping S_0 in the second scan (see _window_sums_impl).
-        cb = self.cb = c - 1 if signed else c
-        nb = 1 << cb
-        if signed:
-            w_u = -(-self.num_bits // c)
-            b_top = self.num_bits - (w_u - 1) * c
-            if b_top >= c:
-                W = w_u + 1
-                bits_w = [cb] * w_u + [0]
-            else:
-                W = w_u
-                bits_w = [cb] * (W - 1) + [min(b_top, cb)]
-        else:
-            W = -(-self.num_bits // c)
-            bits_w = [min(c, self.num_bits - w * c) for w in range(W)]
-        self.W = W
         r_w = np.array([cb - b for b in bits_w], dtype=np.int64)
         mult_w = (1 << r_w).astype(np.uint32)  # replicas per bucket
         self.MULT = mult_w.reshape(W, 1)
@@ -174,8 +185,9 @@ class PlaneMsm:
         Single source of truth for the keying scheme (used by the scan and
         by scripts/profile_msm.py): key = bucket·2^r | (i mod 2^r); signed
         mode maps |digit|-1 to the bucket, drops zeros past the last
-        searchsorted boundary via key = nb, and offsets the payload by N so
-        negative digits gather the negated table half.
+        searchsorted boundary via key = nb, and carries the digit SIGN in
+        the payload's high bit (bit 31) — the table stays N positive rows
+        and the add kernel flips the gathered Y in-kernel (neg_y).
         """
         W, n = digits_t.shape
         nb = 1 << self.cb
@@ -188,8 +200,8 @@ class PlaneMsm:
                 jnp.uint32(nb),
                 (mag - 1) * mult + (iota & (mult - 1)),
             )
-            payload = iota + jnp.where(
-                digits_t < 0, jnp.uint32(n), jnp.uint32(0)
+            payload = iota | jnp.where(
+                digits_t < 0, jnp.uint32(0x80000000), jnp.uint32(0)
             )
         else:
             keys = digits_t * mult + (iota & (mult - 1))
@@ -226,12 +238,12 @@ class PlaneMsm:
         lanes = W * nb
         assert W == self.W, (W, self.W)
         assert lanes % self.tile == 0, (W, nb, self.tile)
-        # signed mode gathers row i+N for negative digits: an N-row table
-        # would silently clamp those indices to wrong rows (jnp.take clamps)
-        expect_rows = 2 * n if self.signed else n
-        assert table.shape[0] == expect_rows, (
-            f"table has {table.shape[0]} rows; {'signed' if self.signed else 'unsigned'}"
-            f" plan with N={n} digits requires {expect_rows}"
+        # signed and unsigned plans share the same N-row positive table:
+        # digit signs ride the payload high bit and the kernel negates the
+        # gathered Y in-kernel (pallas_curve neg_y)
+        assert table.shape[0] == n, (
+            f"table has {table.shape[0]} rows; plan with N={n} digits"
+            f" requires {n}"
         )
         one_np = np.concatenate(
             [self.pc.pf.ONE_MONT_COL]
@@ -292,10 +304,16 @@ class PlaneMsm:
         KS = self.k_steps
         offs = jnp.arange(KS, dtype=jnp.int32)
 
-        def gather_rows(idx2):
-            # idx2 (lanes, KS) -> (lanes, KS·rows_w) u8, lane-major
+        def gather_rows(pay2):
+            # payload (lanes, KS) -> ((lanes, KS·rows_w) u8 rows,
+            # (KS, lanes) f32 sign planes). Bit 31 of the payload is the
+            # digit sign (signed mode; always 0 unsigned) — the table has
+            # only the N positive rows and the kernel flips Y in-kernel.
+            idx2 = (pay2 & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
             flat = jnp.take(table_p, idx2.reshape(-1), axis=0)
-            return flat.reshape(idx2.shape[0], KS * self.rows_w)
+            rows = flat.reshape(idx2.shape[0], KS * self.rows_w)
+            sgn = (pay2 >> 31).astype(F32).T
+            return rows, sgn
 
         # flat 1-D perm gather: take_along_axis on (W, N) lowers to a
         # minor-axis lane gather (~42 ns/idx measured — 3.4 ms/step at
@@ -317,19 +335,21 @@ class PlaneMsm:
             return state[0] < max_len
 
         def body(state):
-            i, aX, aY, aZ, rows = state
-            rows_next = gather_rows(step_idx(i + KS))
+            i, aX, aY, aZ, rows, sgn = state
+            rows_next, sgn_next = gather_rows(step_idx(i + KS))
             # the row flag joins the bucket mask IN-KERNEL: identity rows
             # (padding or genuinely-zero query points) are skipped, which
             # IS adding the identity — required because the mixed add has
             # no affine encoding for it
             mask = ((i + offs)[:, None] < eff_len[None, :]).astype(F32)
-            aX, aY, aZ = self.mixed_madd_rows(aX, aY, aZ, rows, mask)
-            return i + KS, aX, aY, aZ, rows_next
+            aX, aY, aZ = self.mixed_madd_rows(
+                aX, aY, aZ, rows, jnp.concatenate([mask, sgn], axis=0)
+            )
+            return i + KS, aX, aY, aZ, rows_next, sgn_next
 
-        rf0 = gather_rows(step_idx(jnp.int32(0)))
-        _, bX, bY, bZ, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), *acc, rf0)
+        rf0, sg0 = gather_rows(step_idx(jnp.int32(0)))
+        _, bX, bY, bZ, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), *acc, rf0, sg0)
         )
         acc3 = (bX, bY, bZ)
 
@@ -352,14 +372,17 @@ class PlaneMsm:
                 return state[0] < sp_max
 
             def sp_body(state):
-                j, aX, aY, aZ, rows = state
-                rows_next = gather_rows(sp_idx(j + KS))
+                j, aX, aY, aZ, rows, sgn = state
+                rows_next, sgn_next = gather_rows(sp_idx(j + KS))
                 mask = ((j + offs)[:, None] < sp_len[None, :]).astype(F32)
-                aX, aY, aZ = self.mixed_madd_rows(aX, aY, aZ, rows, mask)
-                return j + KS, aX, aY, aZ, rows_next
+                aX, aY, aZ = self.mixed_madd_rows(
+                    aX, aY, aZ, rows, jnp.concatenate([mask, sgn], axis=0)
+                )
+                return j + KS, aX, aY, aZ, rows_next, sgn_next
 
-            _, sX, sY, sZ, _ = jax.lax.while_loop(
-                sp_cond, sp_body, (jnp.int32(0), *sacc, gather_rows(sp_idx(jnp.int32(0))))
+            _, sX, sY, sZ, _, _ = jax.lax.while_loop(
+                sp_cond, sp_body,
+                (jnp.int32(0), *sacc, *gather_rows(sp_idx(jnp.int32(0)))),
             )
             # fold spill partials back: inverse map lane -> spill slot
             inv = (
@@ -487,10 +510,15 @@ class PlaneMsm:
         tX, tY, tZ = self.window_sums(table, digits)
         return self._combine(tX, tY, tZ, W)
 
-    def msm_host(self, table, digits, host_curve):
-        """Window sums on device, Horner combine on host (robust path)."""
-        W = int(digits.shape[1])
-        tX, tY, tZ = self.window_sums(table, digits)
+    def combine_host(self, sums3, W: int, host_curve):
+        """Horner window combine on host from device window-total planes.
+
+        Split from msm_host so callers can DISPATCH several MSMs' window
+        sums before the first device->host sync: the np.asarray readback
+        here is the only blocking point, and host Horner of MSM k then
+        overlaps the device compute of MSM k+1 (the prover's five-MSM
+        overlap — VERDICT r3 item 5)."""
+        tX, tY, tZ = sums3
         affs = unpack_points_host(
             self.pc,
             np.asarray(tX[:, :W]),
@@ -505,6 +533,13 @@ class PlaneMsm:
             acc = host_curve.add(acc, affs[w])
         return acc
 
+    def msm_host(self, table, digits, host_curve):
+        """Window sums on device, Horner combine on host (robust path)."""
+        W = int(digits.shape[1])
+        return self.combine_host(
+            self.window_sums(table, digits), W, host_curve
+        )
+
 
 _PLANS: dict = {}
 
@@ -513,7 +548,7 @@ def get_plane_msm(
     curve: CurveParams,
     c: int,
     num_bits: int | None = None,
-    tile: int = 256,
+    tile: int | None = None,
     interpret: bool | None = None,
     group: str = "g1",
     signed: bool = False,
@@ -548,3 +583,9 @@ def pick_window_plane(n: int, budget_bytes: float = 2e9) -> int:
             break
         c -= 1
     return c
+
+
+def pick_window_plane_signed(n: int, budget_bytes: float = 2e9) -> int:
+    """Signed (balanced) window pick: one extra window bit at the same
+    bucket-lane budget as the unsigned pick (2^(c-1) slots per window)."""
+    return min(16, pick_window_plane(n, budget_bytes) + 1)

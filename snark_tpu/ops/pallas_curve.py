@@ -74,7 +74,12 @@ class _G1Field:
 
     def __init__(self, pf, t_ref, b3_digits, cols, mnp=None, mp=None, mb3=None):
         self.pf = pf
-        self.t_ref = t_ref
+        # one or several scratch buffers: with a SINGLE shared scratch all
+        # Montgomery reduces serialize on its RMW chain (WAW on t_ref) —
+        # rotating across independent scratches lets Mosaic overlap the
+        # independent muls of a point-add formula (ILP across reduces)
+        self.t_refs = list(t_ref) if isinstance(t_ref, (list, tuple)) else [t_ref]
+        self._ti = 0
         self.b3_digits = b3_digits  # compile-time digit tuple of 3b·R
         self.mnp = mnp
         self.mp = mp
@@ -83,25 +88,42 @@ class _G1Field:
         self.p2 = cols[:, _P2 : _P2 + 1]
         self.cols = cols
 
+    def _t(self):
+        r = self.t_refs[self._ti]
+        self._ti = (self._ti + 1) % len(self.t_refs)
+        return r
+
     def kp(self, k):
         c = _KCOL[k]
         return self.cols[:, c : c + 1]
 
+    def neg_y(self, y, s):
+        """Conditionally negate an affine y (canonical digits <= 255):
+        s = 1 -> 2p - y (digits in [-255, 255], value in (p, 2p] — safe as
+        a mul operand; see the module value ledger), s = 0 -> y.
+
+        This is the signed-digit MSM's in-kernel negation: the point table
+        stores only the N positive rows and the per-step sign plane flips
+        the gathered Y — no 2N-row [pos ‖ neg] table (one FMA per digit
+        row vs 2x table HBM).
+        """
+        return y + s * (self.p2 - (y + y))
+
     def mul(self, a, b):
         return self.pf.mont_mul(
-            a, b, self.t_ref, self.carry, plus_p=self.p2,
+            a, b, self._t(), self.carry, plus_p=self.p2,
             m_np=self.mnp, m_p=self.mp,
         )
 
     def mul_pair(self, a, b, c, d, sign2=1.0):
         return self.pf.mont_mul_pair(
-            a, b, c, d, self.t_ref, self.carry, plus_p=self.p2, scale2=sign2,
+            a, b, c, d, self._t(), self.carry, plus_p=self.p2, scale2=sign2,
             m_np=self.mnp, m_p=self.mp,
         )
 
     def mul_x2(self, a, b):
         return self.pf.mont_mul_x2(
-            a, b, self.t_ref, self.carry, plus_p=self.p2,
+            a, b, self._t(), self.carry, plus_p=self.p2,
             m_np=self.mnp, m_p=self.mp,
         )
 
@@ -109,7 +131,7 @@ class _G1Field:
         """x digits must be [-256, 256] on the MXU path ([-1900, 1900] on
         the VPU conv path)."""
         return self.pf.mul_const(
-            x, self.b3_digits, self.t_ref, self.carry, plus_p=self.p2,
+            x, self.b3_digits, self._t(), self.carry, plus_p=self.p2,
             m_c=self.mb3, m_np=self.mnp, m_p=self.mp,
         )
 
@@ -137,7 +159,8 @@ class _G2Field:
     def __init__(self, pf, t_ref, b3_digits, cols, mnp=None, mp=None, mb3=None):
         self.pf = pf
         self.R8 = pf.R8
-        self.t_ref = t_ref
+        self.t_refs = list(t_ref) if isinstance(t_ref, (list, tuple)) else [t_ref]
+        self._ti = 0
         self.b3_digits = b3_digits  # (k0_digits, k1_digits) tuple pair
         self.mnp = mnp
         self.mp = mp
@@ -150,6 +173,12 @@ class _G2Field:
         c = _KCOL[k]
         return self.cols[:, c : c + 1]
 
+    def neg_y(self, y, s):
+        """Conditional negation of an affine Fq2 y (see _G1Field.neg_y):
+        both components flip, 2p - y_i per component."""
+        p22 = jnp.concatenate([self.p2, self.p2], axis=0)
+        return y + s * (p22 - (y + y))
+
     def _split(self, x):
         return x[: self.R8], x[self.R8 :]
 
@@ -157,9 +186,14 @@ class _G2Field:
     def _join(c0, c1):
         return jnp.concatenate([c0, c1], axis=0)
 
+    def _t(self):
+        r = self.t_refs[self._ti]
+        self._ti = (self._ti + 1) % len(self.t_refs)
+        return r
+
     def _base_mul(self, a, b):
         return self.pf.mont_mul(
-            a, b, self.t_ref, self.carry, plus_p=self.p2,
+            a, b, self._t(), self.carry, plus_p=self.p2,
             m_np=self.mnp, m_p=self.mp,
         )
 
@@ -199,7 +233,7 @@ class _G2Field:
         ref-free composition and covered by test_g2_cmul_b3_vpu_branch.
         """
         pf = self.pf
-        t_ref = self.t_ref
+        t_ref = self._t()
         x0, x1 = self._split(x)
         if self.mb3 is not None:
             mk0, mk1 = self.mb3
@@ -299,6 +333,71 @@ def _madd_mixed_body(F, P, Q):
     Y3 = F.mul_pair(t1p, z3p, y3, t0p)
     Z3 = F.mul_pair(z3p, t4, t0p, t3)
     return X3, Y3, Z3
+
+
+def _madd_mixed_body_batched_g1(F, P, Q, sa, sb, t5, t3s):
+    """RCB15 Alg 8 with LATERALLY BATCHED Montgomery reductions (G1).
+
+    Identical per-lane arithmetic to _madd_mixed_body — the independent
+    multiplies of each phase are laid side by side along the LANE axis
+    (staged through scratch refs sa/sb: Mosaic has no lane-concat of
+    offset values, but offset STORES into a scratch are fine) and share
+    ONE mul_acc loop + ONE reduce:
+
+      phase 1 (width 5T): [X1·X2, Y1·Y2, (X1+Y1)(X2+Y2), Y2·Z1, X2·Z1]
+      phase 2 (width 2T): cmul_b3 of [Z1, norm(y3p)] (pure-MXU: needs no
+                          accumulation scratch)
+      phase 3 (width 3T): the three mul_pairs (X3 sign folded by
+                          pre-negating the t4 block of A2 — same math as
+                          scale2 = -1)
+
+    Why: the kernel is per-op-overhead-bound (measured ~40 cycles fixed
+    cost per jnp op on (34, T) planes vs ~4 cycles of arithmetic at
+    T=1024); batching cuts the op COUNT of the reduce pipeline ~4x while
+    keeping every per-lane product bit-identical, so the digit/value
+    ledger of _madd_mixed_body applies unchanged. sa/sb are (R8, 6T)
+    staging scratches; t5/t3s the (2R8, 5T/3T) accumulation scratches.
+    """
+    pf = F.pf
+    X1, Y1, Z1 = P
+    X2, Y2 = Q
+    T = X1.shape[1]
+
+    def stage(ref, parts):
+        for k, v in enumerate(parts):
+            ref[:, k * T : (k + 1) * T] = v
+        return ref[:, : len(parts) * T]
+
+    A = stage(sa, [X1, Y1, F.add(X1, Y1), Y2, X2])
+    B = stage(sb, [X2, Y2, F.add(X2, Y2), Z1, Z1])
+    M = pf.mont_mul(A, B, t5, F.carry, plus_p=F.p2, m_np=F.mnp, m_p=F.mp)
+    t0 = M[:, 0 * T : 1 * T]
+    t1 = M[:, 1 * T : 2 * T]
+    m4 = M[:, 2 * T : 3 * T]
+    t4 = F.add(M[:, 3 * T : 4 * T], Y1)
+    y3p = F.add(M[:, 4 * T : 5 * T], X1)
+
+    t3 = F.sub(m4, F.add(t0, t1), 21)
+    t0p = F.triple(t0)
+    # phase 2: the MXU-backed mul_const never touches its t_ref argument
+    # (reduce's matmul path is value-only) — t5 is passed but unused
+    C2 = pf.mul_const(
+        stage(sa, [Z1, F.norm(y3p)]), F.b3_digits, t5, F.carry,
+        plus_p=F.p2, m_c=F.mb3, m_np=F.mnp, m_p=F.mp,
+    )
+    t2p = C2[:, :T]
+    y3 = C2[:, T:]
+    z3p = F.add(t1, t2p)
+    t1p = F.sub(t1, t2p, 4)
+
+    # phase 3: sa = A1 ‖ A2, sb = B1 ‖ B2 (3T each half)
+    SA = stage(sa, [t3, t1p, z3p, -t4, y3, t0p])  # -t4: X3's sign2 = -1
+    SB = stage(sb, [t1p, z3p, t4, y3, t0p, t3])
+    M3 = pf.mont_mul_pair(
+        SA[:, : 3 * T], SB[:, : 3 * T], SA[:, 3 * T :], SB[:, 3 * T :],
+        t3s, F.carry, plus_p=F.p2, m_np=F.mnp, m_p=F.mp,
+    )
+    return M3[:, :T], M3[:, T : 2 * T], M3[:, 2 * T :]
 
 
 def _double_body(F, P):
@@ -410,14 +509,21 @@ def _make_pointwise(
     row joins the mask in-kernel.
     k_steps (rows mode only): the kernel performs k_steps sequential
     masked adds per invocation — rows arrive as (N, k_steps·rows_width)
-    and the mask as (k_steps, N). Amortizes the per-call accumulator
-    DMA + launch overhead over k_steps group adds (the MSM scan's main
-    loop advances k_steps sorted elements per dispatch).
+    and the mask as (2·k_steps, N): rows [0, k) are the add masks, rows
+    [k, 2k) are SIGN planes (1.0 flips the gathered affine Y in-kernel:
+    signed-digit MSM with positive-only tables). Amortizes the per-call
+    accumulator DMA + launch overhead over k_steps group adds (the MSM
+    scan's main loop advances k_steps sorted elements per dispatch).
     interpret = None -> auto: interpret iff the default backend is CPU
     (Mosaic cannot compile there; tests and host-only runs just work).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    import os
+
+    # independent scratch buffers for ILP across Montgomery reduces (see
+    # _G1Field.__init__); 1 restores the legacy fully-serialized layout
+    n_scratch = int(os.environ.get("SNARK_TPU_MSM_SCRATCH", "4"))
     emu = interpret and not _use_real_interpret()
     if emu:
         from .plane_emu import get_emu_field
@@ -443,6 +549,13 @@ def _make_pointwise(
         assert mixed and masked and body_arity == 2
         assert rows_width >= 2 * K * R8 + 1
     assert k_steps == 1 or use_rows, "k_steps > 1 requires rows mode"
+    # laterally-batched reduce pipeline for the hot G1 scan kernel (see
+    # _madd_mixed_body_batched_g1); scratch widths 5T/2T/3T per phase
+    batched = (
+        use_rows
+        and group == "g1"
+        and os.environ.get("SNARK_TPU_MSM_BATCHED", "1") == "1"
+    )
     n_q = (1 if use_rows else 2 if mixed else 3) if body_arity == 2 else 0
     n_coords = 3 + n_q + (1 if masked else 0) if body_arity == 2 else 3
 
@@ -454,20 +567,28 @@ def _make_pointwise(
         base = 3 + n_mb3
         ins = [r[...] for r in refs[base : base + n_coords]]
         outs = refs[base + n_coords : base + n_coords + 3]
-        t_ref = refs[-1]
-        F = pc.field_ctx(group, t_ref, cols, mnp, mp, mb3, pf=pf_k)
+        t_refs = list(refs[-(4 if batched else n_scratch):])
+        F = pc.field_ctx(group, t_refs, cols, mnp, mp, mb3, pf=pf_k)
         KR = K * R8
         if body_arity == 2:
             P = tuple(ins[:3])
-            m = ins[-1] if masked else None  # (1|k_steps, T) in {0, 1}
+            m = ins[-1] if masked else None  # (1|2·k_steps, T) in {0, 1}
             if use_rows:
                 for k in range(k_steps):
                     # Mosaic has no direct u8->f32 cast; hop via int32
                     blk = ins[3][:, k * rows_width : (k + 1) * rows_width]
                     rf = jnp.transpose(blk.astype(jnp.int32).astype(F32))
-                    X3, Y3, Z3 = _madd_mixed_body(
-                        F, P, (rf[:KR], rf[KR : 2 * KR])
-                    )
+                    # rows [k_steps, 2·k_steps) of the mask are per-lane
+                    # SIGN planes: flip the gathered affine Y in-kernel
+                    # (signed-digit MSM; table holds only positive rows)
+                    sk = m[k_steps + k : k_steps + k + 1, :]
+                    Y2 = F.neg_y(rf[KR : 2 * KR], sk)
+                    if batched:
+                        X3, Y3, Z3 = _madd_mixed_body_batched_g1(
+                            F, P, (rf[:KR], Y2), *t_refs
+                        )
+                    else:
+                        X3, Y3, Z3 = _madd_mixed_body(F, P, (rf[:KR], Y2))
                     mk = m[k : k + 1, :] * rf[2 * KR : 2 * KR + 1]
                     P = (
                         mk * X3 + (1.0 - mk) * P[0],
@@ -505,13 +626,19 @@ def _make_pointwise(
             outs = tuple(
                 jax.ShapeDtypeStruct((K * R8, n), F32) for _ in range(3)
             )
+            scr = (
+                [(R8, 6 * n), (R8, 6 * n), (2 * R8, 5 * n), (2 * R8, 3 * n)]
+                if batched
+                else (2 * R8, n)
+            )
             return emu_call(
                 kernel,
                 n_coords,
                 outs,
-                (2 * R8, n),
+                scr,
                 [cols_c, mnp_c, mp_c, *mb3_cs],
                 list(coords),
+                n_scratch=1 if batched else n_scratch,
             )
 
         return run_emu
@@ -542,7 +669,7 @@ def _make_pointwise(
         if masked:
             data_specs.append(
                 pl.BlockSpec(
-                    (k_steps if use_rows else 1, tile), lambda i: (0, i)
+                    (2 * k_steps if use_rows else 1, tile), lambda i: (0, i)
                 )
             )
         if body_arity == 1:
@@ -556,7 +683,16 @@ def _make_pointwise(
             grid=(n // tile,),
             in_specs=const_specs + data_specs,
             out_specs=(out_spec,) * 3,
-            scratch_shapes=[pltpu.VMEM((2 * R8, tile), F32)],
+            scratch_shapes=(
+                [
+                    pltpu.VMEM((R8, 6 * tile), F32),
+                    pltpu.VMEM((R8, 6 * tile), F32),
+                    pltpu.VMEM((2 * R8, 5 * tile), F32),
+                    pltpu.VMEM((2 * R8, 3 * tile), F32),
+                ]
+                if batched
+                else [pltpu.VMEM((2 * R8, tile), F32)] * n_scratch
+            ),
             interpret=interpret,
         )(cols_c, mnp_c, mp_c, *mb3_cs, *coords)
 
@@ -625,10 +761,11 @@ def make_masked_mixed_add_rows(
     """(P, rows_u8, mask) -> mask·flag ? P+(X2,Y2) : P, k_steps deep.
 
     rows_u8 is the (N, k_steps·rows_pad_width) gathered table block;
-    u8->f32 cast, transpose to digit planes, and the identity-flag
-    masking all happen inside the kernel (VMEM), killing the per-step
-    XLA transpose. With k_steps > 1 the mask is (k_steps, N) and the
-    kernel chains k_steps masked adds before writing the accumulator
+    u8->f32 cast, transpose to digit planes, the identity-flag masking
+    and the conditional Y negation (sign rows of the mask — signed-digit
+    MSM) all happen inside the kernel (VMEM), killing the per-step
+    XLA transpose. The mask is (2·k_steps, N): add masks ‖ sign planes;
+    the kernel chains k_steps masked adds before writing the accumulator
     back (one acc round-trip per k_steps adds).
     """
     return _make_pointwise(

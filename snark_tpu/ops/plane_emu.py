@@ -197,18 +197,25 @@ class EmuRef:
             self.a = self.a.at[idx].set(val)
 
 
-def emu_call(kernel, n_in, out_shapes, scratch_shape, consts, arrs):
+def emu_call(kernel, n_in, out_shapes, scratch_shape, consts, arrs,
+             n_scratch: int = 1):
     """Run `kernel(*refs)` once, full-width, as plain XLA.
 
     Ref order mirrors pallas_call: consts ‖ data inputs ‖ outputs ‖
-    scratch. `out_shapes` are jax.ShapeDtypeStructs. Returns the output
-    arrays (tuple, matching out_shapes).
+    scratch (n_scratch buffers of `scratch_shape`). `out_shapes` are
+    jax.ShapeDtypeStructs. Returns the output arrays (tuple, matching
+    out_shapes).
     """
     assert len(arrs) == n_in, (len(arrs), n_in)
     refs = [EmuRef(c) for c in consts]
     refs += [EmuRef(a) for a in arrs]
     outs = [EmuRef(jnp.zeros(s.shape, s.dtype)) for s in out_shapes]
     refs += outs
-    refs.append(EmuRef(jnp.zeros(scratch_shape, jnp.float32)))
+    if isinstance(scratch_shape, list):
+        for s in scratch_shape:  # heterogeneous scratch widths
+            refs.append(EmuRef(jnp.zeros(s, jnp.float32)))
+    else:
+        for _ in range(n_scratch):
+            refs.append(EmuRef(jnp.zeros(scratch_shape, jnp.float32)))
     kernel(*refs)
     return tuple(o.a for o in outs)

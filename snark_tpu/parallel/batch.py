@@ -22,8 +22,8 @@ from jax import shard_map
 
 from ..fields.host import Fp
 from ..groth16.groth16 import Groth16, Proof, ProvingKey, assemble_proof
-from ..ops.msm import scalars_to_digits
-from ..ops.msm_plane import get_plane_msm
+from ..ops.msm import scalars_to_digits_signed, signed_digits_from_u8_planes
+from ..ops.msm_plane import get_plane_msm, pick_window_plane_signed
 from ..ops.ntt_plane import get_plane_ntt
 from ..ops.pallas_curve import unpack_points_host
 from ..ops.pallas_field import digits8_from_limbs
@@ -34,9 +34,11 @@ from ..relations import SynthesisMode, new_ref
 class BatchProver:
     """prove_batch(circuits) -> [Proof]; one shared ProvingKey.
 
-    c = 8 unsigned digits for all five MSMs so the h MSM consumes the
-    plane NTT's canonical digit planes directly (same convention as the
-    single-chip and distributed provers).
+    Signed (balanced) digits for all five MSMs (same convention as the
+    single-chip prover): the h MSM's digits come straight off the plane
+    NTT's canonical digit planes via the device balanced-window extraction
+    (ops/msm.signed_digits_from_u8_planes) — tables stay N positive rows,
+    signs ride the gather payload.
     """
 
     def __init__(self, g16: Groth16, pk: ProvingKey, mesh: Mesh | None = None,
@@ -53,15 +55,17 @@ class BatchProver:
         n = pk.domain_size
         self.plan = g16._witness_plan(n)
         self.pn = get_plane_ntt(g16.curve.fr, n)
-        self.c = 8
+        self.c = pick_window_plane_signed(pk.num_instance + pk.num_witness)
         nbits = g16.curve.fr.num_bits
-        self.msm_g1 = get_plane_msm(g16.curve, self.c, nbits)
-        self.msm_g2 = get_plane_msm(g16.curve, self.c, nbits, group="g2")
+        self.msm_g1 = get_plane_msm(g16.curve, self.c, nbits, signed=True)
+        self.msm_g2 = get_plane_msm(
+            g16.curve, self.c, nbits, group="g2", signed=True
+        )
         self.W = self.msm_g1.W
         self._core = jax.jit(self._core_impl)
 
     def _h_digits(self, zm):
-        """zm (M, L) u32 mont -> (n, 32) uint32 c=8 digit planes of h.
+        """zm (M, L) u32 mont -> (n, W) int32 signed c-bit digits of h.
 
         The matvec + plane-NTT h pipeline of one proof (shared by
         _one_proof and the multichip dry-run's dp-sharded stage, which
@@ -92,11 +96,12 @@ class BatchProver:
             to_planes(a_evals), to_planes(b_evals), to_planes(c_evals)
         )
         h_std = pn.k.tostd(h_bitrev)[0]
-        return h_std[:32].T.astype(jnp.uint32)  # (n, 32): c=8 windows
+        nbits = self.g16.curve.fr.num_bits
+        return signed_digits_from_u8_planes(h_std, self.c, nbits)
 
     def _one_proof(self, zm, zd):
-        """zm (M, L) u32 mont, zd (M, W) uint32 -> stacked (5, 3, K·R8)
-        MSM totals (projective wide-Mont planes, lane 0)."""
+        """zm (M, L) u32 mont, zd (M, W) int32 signed -> stacked
+        (5, 3, K·R8) MSM totals (projective wide-Mont planes, lane 0)."""
         pk = self.pk
         ni = pk.num_instance
 
@@ -117,7 +122,7 @@ class BatchProver:
         return jnp.stack([a, b1, ll, h]), b  # G1 stack + G2 separately
 
     def h_core(self):
-        """Jitted dp-sharded batched h pipeline: (B, M, L) -> (B, n, 32).
+        """Jitted dp-sharded batched h pipeline: (B, M, L) -> (B, n, W).
 
         The matvec + plane-NTT portion of the batched prover under the
         same dp shard_map as _core — the multichip dry-run's dp stage
@@ -195,8 +200,8 @@ class BatchProver:
         M = len(zs[0])
         nbits = g16.curve.fr.num_bits
         z_digits = jnp.asarray(
-            scalars_to_digits(fr.to_limbs_array(flat), self.c, nbits)
-        ).reshape(B, M, -1).astype(jnp.uint32)
+            scalars_to_digits_signed(fr.to_limbs_array(flat), self.c, nbits)
+        ).reshape(B, M, -1)
         z_mont = self.plan.df.array(flat, mont=True).reshape(B, M, -1)
 
         g1_stack, b_stack = self._core(z_mont, z_digits)

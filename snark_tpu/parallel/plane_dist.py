@@ -34,7 +34,7 @@ from jax import shard_map
 
 from ..fields.host import Fp
 from ..fields.params import CurveParams, FieldParams
-from ..ops.msm import scalars_to_digits, scalars_to_digits_signed
+from ..ops.msm import scalars_to_digits_signed
 from ..ops.msm_plane import PlaneMsm, get_plane_msm
 from ..ops.ntt_plane import _bit_reverse_indices, get_ntt_kernels
 from ..ops.pallas_field_v3 import F32
@@ -48,10 +48,10 @@ from ..ops.pallas_field_v3 import F32
 class DistPlaneMsm:
     """Point-sharded plane MSM over one mesh axis.
 
-    The per-chip table layout is block-signed: chip d's shard is
-    [pos_d ‖ neg_d] (2·n_local rows), so the local signed-digit gather
-    offsets (row i + n_local for negative digits) resolve inside the
-    shard — build it with `shard_table`.
+    The table is the plain (N, w) positive-row layout for both digit
+    modes: signed digits carry their sign in the gather payload and the
+    add kernel negates the gathered Y in-kernel (pallas_curve neg_y), so
+    each chip's shard is just its contiguous row block.
     """
 
     def __init__(
@@ -75,23 +75,15 @@ class DistPlaneMsm:
         self._sums_dist = jax.jit(self._sums_dist_impl)
 
     # -- host-side data prep ------------------------------------------------
-    def shard_table(self, pos_rows: np.ndarray, neg_rows: np.ndarray | None):
-        """(N, w) u8 row tables -> (ndev·2·n_local, w) block-signed layout
-        (or (N, w) unchanged when unsigned)."""
-        if not self.signed:
-            return jnp.asarray(pos_rows)
-        n = pos_rows.shape[0]
-        assert n % self.ndev == 0, (n, self.ndev)
-        nl = n // self.ndev
-        blocks = []
-        for d in range(self.ndev):
-            blocks.append(pos_rows[d * nl : (d + 1) * nl])
-            blocks.append(neg_rows[d * nl : (d + 1) * nl])
-        return jnp.asarray(np.concatenate(blocks, axis=0))
+    def shard_table(self, pos_rows: np.ndarray, neg_rows=None):
+        """(N, w) u8 positive row table -> device array (row-sharded by
+        the in_spec). neg_rows is accepted and ignored for backward
+        compatibility — negation happens in-kernel now."""
+        return jnp.asarray(pos_rows)
 
     # -- device pipeline ----------------------------------------------------
     def _sums_dist_impl(self, table, digits_t):
-        """table (ndev·2·n_local, w) u8 (block-signed); digits_t (W, N).
+        """table (N, w) u8 positive rows; digits_t (W, N).
         Returns replicated (K·R8, Wpad) window-total planes.
 
         Two-phase layout: every chip bucket-accumulates its point shard
@@ -161,12 +153,13 @@ class DistPlaneMsm:
         """digits (N, W) -> replicated window totals (lanes [0, W))."""
         return self._sums_dist(table, jnp.asarray(digits).T)
 
-    def msm_host(self, table, digits, host_curve):
-        """Distributed window sums + host Horner combine -> affine point."""
+    def combine_host(self, sums3, W: int, host_curve):
+        """Host Horner combine from (replicated) window-total planes —
+        split from msm_host so the prover can dispatch all five MSMs'
+        distributed window sums before the first device->host sync."""
         from ..ops.pallas_curve import unpack_points_host
 
-        W = int(digits.shape[1])
-        tX, tY, tZ = self.window_sums(table, digits)
+        tX, tY, tZ = sums3
         affs = unpack_points_host(
             self.plan.pc,
             np.asarray(tX[:, :W]),
@@ -180,6 +173,13 @@ class DistPlaneMsm:
                 acc = host_curve.double(acc)
             acc = host_curve.add(acc, affs[w])
         return acc
+
+    def msm_host(self, table, digits, host_curve):
+        """Distributed window sums + host Horner combine -> affine point."""
+        W = int(digits.shape[1])
+        return self.combine_host(
+            self.window_sums(table, digits), W, host_curve
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -433,17 +433,19 @@ class DistPlaneProver:
     """Groth16 prove with every heavy stage distributed over one mesh axis.
 
     Stage map (the "tp/sp" production layout; SURVEY.md §2.2):
-      matvec            replicated (cheap vs MSM/NTT; sharding TBD)
+      matvec            CSR rows sharded over the axis (z replicated)
       h pipeline        DistPlaneNtt six-step (3 all_to_all per transform)
       five MSMs         DistPlaneMsm, point-sharded, window-sum all_gather
       assembly/verify   host (O(1) point ops)
 
-    Uses unsigned c=8 digits so the h MSM's digits ARE the canonical u8
-    digit planes of h (no extra extraction), matching the single-chip
-    prover's h path (groth16.py:_prove_from_assignment).
+    Signed (balanced) digits for all five MSMs, like the single-chip
+    prover: h digits come off the canonical digit planes via the device
+    balanced-window extraction (ops/msm.signed_digits_from_u8_planes);
+    tables stay N positive rows, signs ride the gather payload.
     """
 
-    def __init__(self, g16, pk, mesh: Mesh, axis: str = "tp", c: int = 8):
+    def __init__(self, g16, pk, mesh: Mesh, axis: str = "tp",
+                 c: int | None = None):
         from ..ops.pallas_curve import (
             get_plane_curve,
             pack_rows_u8_host,
@@ -451,11 +453,15 @@ class DistPlaneProver:
         )
         from ..ops.pallas_field import digits8_from_limbs
 
+        from ..ops.msm_plane import pick_window_plane_signed
+
         self.g16 = g16
         self.pk = pk
         self.mesh = mesh
         self.axis = axis
         self.ndev = ndev = mesh.shape[axis]
+        if c is None:
+            c = pick_window_plane_signed(pk.num_instance + pk.num_witness)
         self.c = c
         curve = g16.curve
         fr_params = curve.fr
@@ -470,9 +476,9 @@ class DistPlaneProver:
         self.dntt = DistPlaneNtt(fr_params, n1, n // n1, mesh, axis)
         self.pf = self.dntt.pf
 
-        self.msm_g1 = DistPlaneMsm(curve, c, mesh, axis, tile=256, signed=False)
+        self.msm_g1 = DistPlaneMsm(curve, c, mesh, axis, tile=256, signed=True)
         self.msm_g2 = DistPlaneMsm(
-            curve, c, mesh, axis, tile=256, group="g2", signed=False
+            curve, c, mesh, axis, tile=256, group="g2", signed=True
         )
         self.W = self.msm_g1.plan.W
 
@@ -500,6 +506,25 @@ class DistPlaneProver:
         self.b1_tbl, _ = pad_tbl(pk.b_g1_tbl, ident_row)
         self.b2_tbl, _ = pad_tbl(pk.b_g2_tbl, ident_row_g2)
         self.l_tbl, self.nw = pad_tbl(pk.l_tbl, ident_row)
+
+        # row-sharded CSR matvec: constraint rows are independent, so the
+        # three matrices shard over the mesh axis (rows padded to a
+        # multiple of ndev with zero-coefficient rows — their products are
+        # zero and the pad rows are discarded after the matvec). Per-chip
+        # CSR memory drops from full-matrix to 1/ndev (SURVEY.md §2.2
+        # "constraint/witness matrices sharded"; VERDICT r3 item 9).
+        def pad_csr(mat):
+            R = mat.cols.shape[0]
+            Rp = -(-R // ndev) * ndev
+            if Rp == R:
+                return mat.cols, mat.coeffs
+            return (
+                jnp.pad(mat.cols, ((0, Rp - R), (0, 0))),
+                jnp.pad(mat.coeffs, ((0, Rp - R), (0, 0), (0, 0))),
+            )
+
+        self._csr = {name: pad_csr(getattr(pk, "mat_" + name))
+                     for name in ("a", "b", "c")}
         # natural-order h table (the dist h pipeline emits natural-order
         # coefficients, unlike the single-chip bitrev path): coefficient n-1
         # is structurally zero -> identity row
@@ -513,17 +538,27 @@ class DistPlaneProver:
 
     # -- device pipeline up to the h digits ---------------------------------
     def _prep_impl(self, z_mont):
-        """z (M, L) legacy-Montgomery limbs -> natural-order h digit planes
-        (n, 32) uint32 via matvec + distributed six-step h pipeline."""
+        """z (M, L) legacy-Montgomery limbs -> natural-order signed h
+        digits (n, W) int32 via matvec + distributed six-step h pipeline."""
         pk = self.pk
         g16 = self.g16
         plan = g16._witness_plan(pk.domain_size)
         df = plan.df
         n, ni, nc = pk.domain_size, pk.num_instance, pk.num_constraints
 
-        a_rows = plan._matvec_impl(pk.mat_a.cols, pk.mat_a.coeffs, z_mont)
-        b_rows = plan._matvec_impl(pk.mat_b.cols, pk.mat_b.coeffs, z_mont)
-        c_rows = plan._matvec_impl(pk.mat_c.cols, pk.mat_c.coeffs, z_mont)
+        @functools.partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis), P()),
+            out_specs=P(self.axis),
+            check_vma=False,
+        )
+        def mv(cols, coeffs, zm):
+            return plan._matvec_impl(cols, coeffs, zm)
+
+        a_rows = mv(*self._csr["a"], z_mont)[:nc]
+        b_rows = mv(*self._csr["b"], z_mont)[:nc]
+        c_rows = mv(*self._csr["c"], z_mont)[:nc]
         pad = n - nc - ni
         zeros_pad = jnp.zeros((pad, df.L), dtype=z_mont.dtype)
         zeros_inst = jnp.zeros((ni, df.L), dtype=z_mont.dtype)
@@ -540,7 +575,10 @@ class DistPlaneProver:
             to_planes(a_evals), to_planes(b_evals), to_planes(c_evals)
         )
         h_std = self.dntt.k.tostd(h)[0]  # canonical std digit planes
-        return h_std[:32].T.astype(jnp.uint32)  # (n, 32) = c=8 digits
+        from ..ops.msm import signed_digits_from_u8_planes
+
+        nbits = g16.curve.fr.num_bits
+        return signed_digits_from_u8_planes(h_std, self.c, nbits)
 
     # -- public API ----------------------------------------------------------
     def prove(self, circuit, rng=None, r: int | None = None,
@@ -572,19 +610,27 @@ class DistPlaneProver:
 
         nbits = g16.curve.fr.num_bits
         mp = self.a_tbl.shape[0]
-        z_digits = np.zeros((mp, self.W), dtype=np.uint32)
+        z_digits = np.zeros((mp, self.W), dtype=np.int32)
         z_digits[: len(z)] = np.asarray(
-            scalars_to_digits(fr.to_limbs_array(z), self.c, nbits)
+            scalars_to_digits_signed(fr.to_limbs_array(z), self.c, nbits)
         )
         nwp = self.l_tbl.shape[0]
-        l_digits = np.zeros((nwp, self.W), dtype=np.uint32)
+        l_digits = np.zeros((nwp, self.W), dtype=np.int32)
         ni = pk.num_instance
         l_digits[: len(z) - ni] = z_digits[ni : len(z)]
 
         hg1, hg2 = g16.hg1, g16.hg2
-        A_sum = self.msm_g1.msm_host(self.a_tbl, z_digits, hg1)
-        B_sum = self.msm_g2.msm_host(self.b2_tbl, z_digits, hg2)
-        B1_sum = self.msm_g1.msm_host(self.b1_tbl, z_digits, hg1)
-        L_sum = self.msm_g1.msm_host(self.l_tbl, l_digits, hg1)
-        H_sum = self.msm_g1.msm_host(self.h_tbl, np.asarray(h_digits), hg1)
+        # dispatch all five distributed window-sum pipelines before the
+        # first host sync (overlap host Horner with device compute)
+        sA = self.msm_g1.window_sums(self.a_tbl, z_digits)
+        sB = self.msm_g2.window_sums(self.b2_tbl, z_digits)
+        sB1 = self.msm_g1.window_sums(self.b1_tbl, z_digits)
+        sL = self.msm_g1.window_sums(self.l_tbl, l_digits)
+        sH = self.msm_g1.window_sums(self.h_tbl, h_digits)
+        W = self.W
+        A_sum = self.msm_g1.combine_host(sA, W, hg1)
+        B_sum = self.msm_g2.combine_host(sB, W, hg2)
+        B1_sum = self.msm_g1.combine_host(sB1, W, hg1)
+        L_sum = self.msm_g1.combine_host(sL, W, hg1)
+        H_sum = self.msm_g1.combine_host(sH, int(h_digits.shape[1]), hg1)
         return assemble_proof(g16, pk, A_sum, B_sum, B1_sum, L_sum, H_sum, r, s)

@@ -54,6 +54,10 @@ def test_setup_plane_vs_legacy_tables(monkeypatch):
 
     g16 = Groth16(BN254)
     circuit = MulChainCircuit(seed=3, n=2048 - 64, batch=True)
+    # force the plane path for ALL five query vectors, including h (whose
+    # perm'd table branch needs len >= the default 2048 threshold while
+    # this domain yields 2047 h scalars — ADVICE r3)
+    monkeypatch.setenv("SNARK_TPU_SETUP_PLANE_MIN", "256")
     monkeypatch.setenv("SNARK_TPU_SETUP_PLANE", "1")
     pk1, _ = g16.circuit_specific_setup(circuit, random.Random(42))
     monkeypatch.setenv("SNARK_TPU_SETUP_PLANE", "0")

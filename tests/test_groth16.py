@@ -78,3 +78,32 @@ def test_prove_requires_rng_or_explicit_opt_in():
     p0 = g16.prove(pk, circuit, deterministic=True)
     assert p0 == g16.prove(pk, circuit, r=0, s=0)
     assert g16.verify(vk, [2 % BN254.fr.modulus], p0)
+
+
+@pytest.mark.slow
+def test_groth16_plane_signed_matches_legacy():
+    """The production plane prover path (signed digits, in-kernel Y
+    negation, five-MSM overlapped dispatch) produces the SAME proof as
+    the legacy small-circuit path at the same (r, s) — the plane stack's
+    end-to-end equivalence oracle on the CPU emu kernels."""
+    import os
+
+    curve = BN254
+    g16 = Groth16(curve)
+    n = (1 << 11) - 64  # domain 2^11 (smallest the plane NTT path runs)
+    circuit = MulChainCircuit(seed=5, n=n, batch=True)
+    pk, vk = g16.circuit_specific_setup(circuit, random.Random(0))
+
+    old = os.environ.get("SNARK_TPU_PLANE_MSM_MIN")
+    try:
+        os.environ["SNARK_TPU_PLANE_MSM_MIN"] = "1024"
+        p_plane = g16.prove(pk, circuit, r=17, s=23)
+        os.environ["SNARK_TPU_PLANE_MSM_MIN"] = str(1 << 30)
+        p_legacy = g16.prove(pk, circuit, r=17, s=23)
+    finally:
+        if old is None:
+            os.environ.pop("SNARK_TPU_PLANE_MSM_MIN", None)
+        else:
+            os.environ["SNARK_TPU_PLANE_MSM_MIN"] = old
+    assert p_plane == p_legacy
+    assert g16.verify(vk, [5 % curve.fr.modulus], p_plane)

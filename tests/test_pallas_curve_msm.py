@@ -110,11 +110,11 @@ def test_plane_msm(c, k_steps):
 
 @pytest.mark.parametrize("c", [8, 11])
 def test_plane_msm_signed(c):
-    """Signed (balanced) digits: half the bucket slots, 2N-row table with
-    negated points in the upper half; weights shift to b+1 via keeping S_0
-    in the second suffix scan."""
+    """Signed (balanced) digits: half the bucket slots; digit signs ride
+    the payload high bit and the kernel negates the gathered Y in-kernel
+    (the table stays N positive rows); weights shift to b+1 via keeping
+    S_0 in the second suffix scan."""
     from snark_tpu.ops.msm import scalars_to_digits_signed
-    from snark_tpu.ops.pallas_curve import pack_rows_u8_signed_host
 
     curve = BN254
     pc = get_plane_curve(curve)
@@ -131,7 +131,7 @@ def test_plane_msm_signed(c):
     # edge scalars: 0, 1, r-1, all-windows-at-half (stress the balance rule)
     half_pat = sum((1 << (c - 1)) << (c * w) for w in range(curve.fr.num_bits // c))
     scalars[:4] = [0, 1, curve.fr.modulus - 1, half_pat % curve.fr.modulus]
-    table = jnp.asarray(pack_rows_u8_signed_host(pc, pts))
+    table = jnp.asarray(pack_rows_u8_host(pc, pts))
     digits = scalars_to_digits_signed(
         fr.to_limbs_array(scalars), c, curve.fr.num_bits
     )

@@ -19,7 +19,6 @@ from snark_tpu.ops.msm import scalars_to_digits_signed
 from snark_tpu.ops.ntt import get_ntt_plan
 from snark_tpu.ops.pallas_curve import (
     get_plane_curve,
-    negate_points_host,
     pack_rows_u8_host,
 )
 from snark_tpu.parallel import make_mesh
@@ -43,9 +42,7 @@ def test_dist_plane_msm_matches_host():
 
     c = 6
     dm = DistPlaneMsm(curve, c, mesh, "tp", tile=32, signed=True)
-    pos = pack_rows_u8_host(pc, points)
-    neg = pack_rows_u8_host(pc, negate_points_host(curve, points))
-    table = dm.shard_table(pos, neg)
+    table = dm.shard_table(pack_rows_u8_host(pc, points))
 
     digits = np.asarray(
         scalars_to_digits_signed(
