@@ -138,18 +138,22 @@ class PlaneFixedBase:
 
         return jax.lax.fori_loop(0, self.W, body, acc0)
 
-    # -- public API -------------------------------------------------------
-    def affine(self, scalars: list[int]):
-        """[s_i]·G for all scalars -> host affine list (None = identity)."""
+    def _digits_padded(self, scalars):
         fr = Fp(self.curve.fr)
         n = len(scalars)
         chunk = self.chunk
         n_pad = -(-max(n, 1) // chunk) * chunk
-        digits = scalars_to_digits(
+        return scalars_to_digits(
             fr.to_limbs_array(list(scalars) + [0] * (n_pad - n)),
             self.c,
             self.num_bits,
-        )
+        ), n, n_pad
+
+    # -- public API -------------------------------------------------------
+    def affine(self, scalars: list[int]):
+        """[s_i]·G for all scalars -> host affine list (None = identity)."""
+        digits, n, n_pad = self._digits_padded(scalars)
+        chunk = self.chunk
         tbl = self.table()
         outs = []
         for i in range(0, n_pad, chunk):
@@ -169,6 +173,30 @@ class PlaneFixedBase:
             ys = list(zip(unpack_ints_np(pf, Y[:R8]), unpack_ints_np(pf, Y[R8:])))
             zs = list(zip(unpack_ints_np(pf, Z[:R8]), unpack_ints_np(pf, Z[R8:])))
         return batch_to_affine_host(self.curve, xs, ys, zs, self.group)
+
+    def rows_and_query(self, scalars: list[int]):
+        """[s_i]·G -> (np u8 MSM row table (N, 2·K·R8+1), np u32
+        legacy-Mont query (N, 3, K·L)) with the whole affine conversion
+        + packing ON DEVICE (ops/plane_affine.py): Fermat Z-inverse,
+        canonical digit packing, legacy limb regroup. Byte-identical to
+        pack_rows_u8_host/pack_affine_host over the host affine list
+        (tests/test_plane_affine.py)."""
+        from .plane_affine import get_plane_affine_codec
+
+        codec = get_plane_affine_codec(self.curve, self.group)
+        digits, n, n_pad = self._digits_padded(scalars)
+        chunk = self.chunk
+        tbl = self.table()
+        rows_out, q_out = [], []
+        for i in range(0, n_pad, chunk):
+            X, Y, Z = self._run(tbl, jnp.asarray(digits[i : i + chunk]))
+            rows, q = codec.convert(X, Y, Z)
+            rows_out.append(rows)
+            q_out.append(q)
+        return (
+            np.concatenate(rows_out, axis=0)[:n],
+            np.concatenate(q_out, axis=0)[:n],
+        )
 
 
 _PLANS: dict = {}
