@@ -645,11 +645,10 @@ class Groth16:
 
         # MSMs: fused-Pallas plane MSM, window sums on device + host Horner
         # combine (the sequential doubling tail is latency-bound batch-1
-        # work — host is faster). z digits extracted on host; h digits on
-        # device (stay on-chip).
+        # work — host is faster). Digits for BOTH z and h are extracted on
+        # device (z_mont is already resident; the host numpy extraction +
+        # upload cost ~0.7 s of the 3.0 s warm 2^16 prove).
         nbits = self.curve.fr.num_bits
-        z_limbs = fr.to_limbs_array(z)
-        tick("z limbs (host)")
         m = len(z)
         plane_min = int(os.environ.get("SNARK_TPU_PLANE_MSM_MIN", "2048"))
         if m >= plane_min:
@@ -679,10 +678,11 @@ class Groth16:
             # point tables stay N positive rows — signs ride the gather
             # payload and the kernel negates Y in-kernel.
             c_z = pick_window_plane_signed(m)
-            z_digits = jnp.asarray(
-                scalars_to_digits_signed(z_limbs, c_z, nbits)
+            z_std = df.from_mont(z_mont)  # (M, L) u32 standard form
+            z_digits = signed_digits_from_u8_planes(
+                digits8_from_limbs(z_std, df.L), c_z, nbits
             )
-            tick("z digits")
+            tick("z digits (device)")
             plan_g1 = get_plane_msm(self.curve, c_z, nbits, signed=True)
             plan_g2 = get_plane_msm(
                 self.curve, c_z, nbits, group="g2", signed=True
@@ -714,7 +714,7 @@ class Groth16:
             # small circuits: the bucket-lane setup of the plane MSM
             # (W·2^c lanes) dwarfs N — use the legacy batched-XLA path
             c_z = pick_window(m)
-            z_digits = scalars_to_digits(z_limbs, c_z, nbits)
+            z_digits = scalars_to_digits(fr.to_limbs_array(z), c_z, nbits)
             A_sum = msm_host_combine(self.g1_ops, self.hg1, pk.a_query, z_digits, c_z)
             B_sum = msm_host_combine(self.g2_ops, self.hg2, pk.b_g2_query, z_digits, c_z)
             B1_sum = msm_host_combine(self.g1_ops, self.hg1, pk.b_g1_query, z_digits, c_z)

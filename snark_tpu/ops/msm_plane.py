@@ -94,11 +94,20 @@ class PlaneMsm:
 
         if tile is None:
             # bigger tiles amortize per-op scheduling/latency (measured:
-            # 19.6 -> 20.3 M adds/s at 2^20 going 256 -> 1024); capped at
-            # 1024 (2048 failed to build) and constrained to divide the
-            # bucket-lane count
+            # 19.6 -> 20.3 M adds/s at 2^20 going 256 -> 1024), but the
+            # kernels' scoped VMEM scales with K·R8·tile: measured OOMs at
+            # 16M — BN254 G2 (K·R8 = 68) 20.01M and BLS12-381 G1
+            # (R8 = 50) 18.05M, both at tile 1024, while BN254 G1
+            # (K·R8 = 34) fits. Cap K·R8·tile <= 36864 (BN254-G1@1024
+            # scale) and require tile | bucket-lane count.
+            KR = (2 if group == "g2" else 1) * self.pc.R8
             tile = next(
-                (t for t in (1024, 512, 256) if (W * nb) % t == 0), 256
+                (
+                    t
+                    for t in (1024, 512, 256)
+                    if KR * t <= 36864 and (W * nb) % t == 0
+                ),
+                256,
             )
         self.tile = tile
         self.madd = make_masked_add(curve, tile, interpret, group=group)
@@ -158,6 +167,9 @@ class PlaneMsm:
             self.spill_lanes = (
                 max(1, (lanes // 10) // tile) * tile if lanes >= 8 * tile else 0
             )
+        # rank-split factor: each spilled bucket's overflow is divided
+        # over ksp spill lanes (bounds sp_max by max_overflow/ksp)
+        self.spill_split = int(os.environ.get("SNARK_TPU_MSM_SPILL_SPLIT", "32"))
         self._sums = jax.jit(self._window_sums_impl)
         self._combine = jax.jit(self._combine_impl)
 
@@ -274,20 +286,28 @@ class PlaneMsm:
         # The while-loop trip count is the MAX bucket length; the mean is
         # n_eff/nb, so the Poisson tail wastes ~(max-mean)/max of every
         # masked step. Cap the main scan at T1 = mean + 1.5σ and run the
-        # overflow of the ≤S longest buckets on S dedicated spill lanes.
-        # Safety without scatter: with kth = S-th largest length and
-        # t* = max(T1, kth), the spilled set {length > t*} always has < S
-        # members, and non-spilled buckets keep their full length in the
-        # main scan — correct even if > S buckets exceed T1.
-        S = self.spill_lanes
-        use_spill = S > 0 and lanes > S
+        # overflow of the ≤S2 longest buckets on the spill lanes, with
+        # each spilled bucket's overflow RANK-SPLIT evenly across ksp
+        # lanes (lane (b, j) scans [start_b + T1 + j·q_b, +q_b)). The
+        # even split is what keeps pathological inputs bounded: real
+        # witnesses cluster (e.g. ~44-bit values put ~5% of N into single
+        # boundary-window buckets — measured on the 2^16 MulChain; a
+        # single-lane spill serialized 6.6k steps, 3.5x the whole MSM).
+        # Safety without scatter: with kth = S2-th largest length and
+        # t* = max(T1, kth), the spilled set {length > t*} always has
+        # < S2 members, and non-spilled buckets keep their full length in
+        # the main scan — correct even if > S2 buckets exceed T1.
+        ksp = self.spill_split
+        S = (self.spill_lanes // ksp) * ksp
+        S2 = S // ksp
+        use_spill = S2 > 0 and lanes > S
         if use_spill:
             mean = max(1, n // nb if self.signed else n // max(1, nb))
             T1 = int(mean + max(2, int(1.5 * mean**0.5)))
-            top_vals, top_idx = jax.lax.top_k(length_f, S)
-            kth = top_vals[S - 1]
+            top_vals, top_idx = jax.lax.top_k(length_f, S2)
+            kth = top_vals[S2 - 1]
             t_star = jnp.maximum(jnp.int32(T1), kth)
-            spilled_k = top_vals > t_star  # (S,) among the top-k
+            spilled_k = top_vals > t_star  # (S2,) among the top-k
             eff_len = jnp.where(
                 length_f > t_star, jnp.minimum(length_f, T1), length_f
             )
@@ -354,10 +374,18 @@ class PlaneMsm:
         acc3 = (bX, bY, bZ)
 
         if use_spill:
-            # spill lane s handles bucket top_idx[s] from depth T1 on
-            sp_start = jnp.take(start_f, top_idx) + T1
-            sp_len = jnp.where(spilled_k, top_vals - T1, 0)
-            sp_win = (top_idx // nb).astype(jnp.uint32)  # window of each lane
+            # spill lane l = b·ksp + j handles chunk j of bucket
+            # top_idx[b]'s overflow: [start_b + T1 + j·q_b, +min(q_b, ·))
+            ov = jnp.where(spilled_k, top_vals - T1, 0)  # (S2,)
+            q = -(-ov // ksp)  # ceil split per bucket
+            b_of = jnp.arange(S, dtype=jnp.int32) // ksp
+            j_of = jnp.arange(S, dtype=jnp.int32) % ksp
+            ov_l = jnp.take(ov, b_of)
+            q_l = jnp.take(q, b_of)
+            bidx_l = jnp.take(top_idx, b_of)  # bucket lane index per spill lane
+            sp_start = jnp.take(start_f, bidx_l) + T1 + j_of * q_l
+            sp_len = jnp.clip(ov_l - j_of * q_l, 0, q_l)
+            sp_win = (bidx_l // nb).astype(jnp.uint32)  # window of each lane
             sp_max = jnp.max(sp_len)
             sacc = self.identity_planes(S)
 
@@ -384,11 +412,34 @@ class PlaneMsm:
                 sp_cond, sp_body,
                 (jnp.int32(0), *sacc, *gather_rows(sp_idx(jnp.int32(0)))),
             )
+            # collapse the ksp chunk partials of each bucket into lane
+            # b·ksp: stride-doubling masked adds over the spill lanes
+            sacc3 = (sX, sY, sZ)
+            st = 1
+            while st < ksp:
+                rolled = tuple(
+                    jnp.roll(a, -st, axis=1) for a in sacc3
+                )
+                mfold = (
+                    ((j_of % (2 * st) == 0) & (j_of + st < ksp))
+                    .reshape(1, S)
+                    .astype(F32)
+                )
+                sacc3 = self.madd(*sacc3, *rolled, mfold)
+                st *= 2
+            sX, sY, sZ = sacc3
             # fold spill partials back: inverse map lane -> spill slot
+            # (bucket b's total sits at spill lane b·ksp)
             inv = (
                 jnp.full((lanes,), -1, jnp.int32)
                 .at[top_idx]
-                .set(jnp.where(spilled_k, jnp.arange(S, dtype=jnp.int32), -1))
+                .set(
+                    jnp.where(
+                        spilled_k,
+                        jnp.arange(S2, dtype=jnp.int32) * ksp,
+                        -1,
+                    )
+                )
             )
             safe = jnp.maximum(inv, 0)
             g_sp = (

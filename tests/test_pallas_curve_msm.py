@@ -209,3 +209,37 @@ def test_g2_cmul_b3_vpu_branch():
     for comp in (0, 1):
         assert got_vpu[comp] == [e[comp] for e in expect]
         assert got_mxu[comp] == [e[comp] for e in expect]
+
+
+def test_plane_msm_signed_clustered_spill():
+    """Skewed scalar distributions (here: half ~44-bit values, the real
+    witness pattern that puts ~5% of N into single boundary-window
+    buckets) must stay correct through the rank-split spill path — each
+    spilled bucket's overflow is divided over ksp spill lanes and folded
+    back (msm_plane._bucket_accum_impl)."""
+    from snark_tpu.ops.msm import scalars_to_digits_signed
+
+    curve = BN254
+    pc = get_plane_curve(curve)
+    hc = host_g1(curve)
+    fr = Fp(curve.fr)
+    rng = random.Random(23)
+    n = 2048
+    pts = [
+        hc.scalar_mul(hc.generator, rng.randrange(1, curve.fr.modulus))
+        for _ in range(32)
+    ] * (n // 32)
+    scalars = [
+        rng.randrange(1 << 44) if i % 2 else rng.randrange(curve.fr.modulus)
+        for i in range(n)
+    ]
+    table = jnp.asarray(pack_rows_u8_host(pc, pts))
+    digits = scalars_to_digits_signed(
+        fr.to_limbs_array(scalars), 11, curve.fr.num_bits
+    )
+    plan = get_plane_msm(curve, 11, interpret=True, signed=True)
+    assert plan.spill_lanes > 0  # the path under test is active
+    exp = None
+    for s, pt in zip(scalars, pts):
+        exp = hc.add(exp, hc.scalar_mul(pt, s))
+    assert plan.msm_host(table, digits, hc) == exp
