@@ -54,7 +54,6 @@ def main():
     from snark_tpu.ops.ntt_plane import get_plane_ntt
     from snark_tpu.ops.pallas_curve import (
         get_plane_curve,
-        negate_points_host,
         pack_rows_u8_host,
         unpack_points_host,
     )
@@ -75,11 +74,9 @@ def main():
     c = int(os.environ.get("C4_WINDOW", "13"))
     pool = [hc.scalar_mul(hc.generator, k + 1) for k in range(64)]
     rows64 = pack_rows_u8_host(pc, pool)
-    neg64 = pack_rows_u8_host(pc, negate_points_host(curve, pool))
     reps = n_shard // 64
-    table = jnp.asarray(
-        np.concatenate([np.tile(rows64, (reps, 1)), np.tile(neg64, (reps, 1))])
-    )
+    # N positive rows only: signed digits negate Y in-kernel
+    table = jnp.asarray(np.tile(rows64, (reps, 1)))
     scalars = [rng.randrange(0, curve.fr.modulus) for _ in range(n_shard)]
     digits = jnp.asarray(
         scalars_to_digits_signed(

@@ -167,9 +167,11 @@ class PlaneMsm:
             self.spill_lanes = (
                 max(1, (lanes // 10) // tile) * tile if lanes >= 8 * tile else 0
             )
-        # rank-split factor: each spilled bucket's overflow is divided
-        # over ksp spill lanes (bounds sp_max by max_overflow/ksp)
-        self.spill_split = int(os.environ.get("SNARK_TPU_MSM_SPILL_SPLIT", "32"))
+        # max spilled buckets per call (top-k size); lanes are allocated
+        # to them proportionally to overflow (see _bucket_accum_impl)
+        self.spill_buckets = int(
+            os.environ.get("SNARK_TPU_MSM_SPILL_BUCKETS", "256")
+        )
         self._sums = jax.jit(self._window_sums_impl)
         self._combine = jax.jit(self._combine_impl)
 
@@ -297,10 +299,9 @@ class PlaneMsm:
         # t* = max(T1, kth), the spilled set {length > t*} always has
         # < S2 members, and non-spilled buckets keep their full length in
         # the main scan — correct even if > S2 buckets exceed T1.
-        ksp = self.spill_split
-        S = (self.spill_lanes // ksp) * ksp
-        S2 = S // ksp
-        use_spill = S2 > 0 and lanes > S
+        S = self.spill_lanes
+        S2 = min(self.spill_buckets, max(1, S // 4))
+        use_spill = S > 0 and lanes > S
         if use_spill:
             mean = max(1, n // nb if self.signed else n // max(1, nb))
             T1 = int(mean + max(2, int(1.5 * mean**0.5)))
@@ -374,17 +375,33 @@ class PlaneMsm:
         acc3 = (bX, bY, bZ)
 
         if use_spill:
-            # spill lane l = b·ksp + j handles chunk j of bucket
-            # top_idx[b]'s overflow: [start_b + T1 + j·q_b, +min(q_b, ·))
+            # fully-balanced spill: the S lanes are allocated to spilled
+            # buckets PROPORTIONALLY to their overflow. Each bucket's
+            # overflow is padded to a multiple of `chunk` in a virtual
+            # concatenation (cum_pad), so every lane's fixed-size range
+            # lies in exactly one bucket; worst-case spill trip count is
+            # chunk = ceil(total_overflow / (S - S2)) regardless of skew
+            # (a single monster bucket spreads over ~S lanes).
             ov = jnp.where(spilled_k, top_vals - T1, 0)  # (S2,)
-            q = -(-ov // ksp)  # ceil split per bucket
-            b_of = jnp.arange(S, dtype=jnp.int32) // ksp
-            j_of = jnp.arange(S, dtype=jnp.int32) % ksp
+            total_ov = jnp.sum(ov)
+            chunk = jnp.maximum(
+                jnp.int32(1), -(-total_ov // jnp.int32(S - S2))
+            )
+            lanes_b = -(-ov // chunk)  # lanes per bucket
+            cum_pad = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(lanes_b * chunk)]
+            )  # (S2+1,) padded-offset prefix
+            g = jnp.arange(S, dtype=jnp.int32) * chunk
+            b_of = (
+                jnp.searchsorted(cum_pad, g, side="right").astype(jnp.int32)
+                - 1
+            )
+            b_of = jnp.clip(b_of, 0, S2 - 1)
+            o_l = g - jnp.take(cum_pad, b_of)  # in-bucket overflow offset
             ov_l = jnp.take(ov, b_of)
-            q_l = jnp.take(q, b_of)
             bidx_l = jnp.take(top_idx, b_of)  # bucket lane index per spill lane
-            sp_start = jnp.take(start_f, bidx_l) + T1 + j_of * q_l
-            sp_len = jnp.clip(ov_l - j_of * q_l, 0, q_l)
+            sp_start = jnp.take(start_f, bidx_l) + T1 + o_l
+            sp_len = jnp.clip(ov_l - o_l, 0, chunk)
             sp_win = (bidx_l // nb).astype(jnp.uint32)  # window of each lane
             sp_max = jnp.max(sp_len)
             sacc = self.identity_planes(S)
@@ -412,34 +429,33 @@ class PlaneMsm:
                 sp_cond, sp_body,
                 (jnp.int32(0), *sacc, *gather_rows(sp_idx(jnp.int32(0)))),
             )
-            # collapse the ksp chunk partials of each bucket into lane
-            # b·ksp: stride-doubling masked adds over the spill lanes
+            # collapse each bucket's chunk partials into its FIRST spill
+            # lane: segmented suffix-sum over the lane axis — masked adds
+            # where the rolled-in lane still belongs to the same bucket
             sacc3 = (sX, sY, sZ)
             st = 1
-            while st < ksp:
+            while st < S:
                 rolled = tuple(
                     jnp.roll(a, -st, axis=1) for a in sacc3
                 )
-                mfold = (
-                    ((j_of % (2 * st) == 0) & (j_of + st < ksp))
-                    .reshape(1, S)
-                    .astype(F32)
+                same = (
+                    (b_of == jnp.roll(b_of, -st))
+                    & (jnp.arange(S, dtype=jnp.int32) + st < S)
                 )
-                sacc3 = self.madd(*sacc3, *rolled, mfold)
+                sacc3 = self.madd(
+                    *sacc3, *rolled, same.reshape(1, S).astype(F32)
+                )
                 st *= 2
             sX, sY, sZ = sacc3
             # fold spill partials back: inverse map lane -> spill slot
-            # (bucket b's total sits at spill lane b·ksp)
+            # (bucket b's total sits at its first lane, cum_pad[b]/chunk)
+            first_lane = (jnp.take(cum_pad, jnp.arange(S2)) // chunk).astype(
+                jnp.int32
+            )
             inv = (
                 jnp.full((lanes,), -1, jnp.int32)
                 .at[top_idx]
-                .set(
-                    jnp.where(
-                        spilled_k,
-                        jnp.arange(S2, dtype=jnp.int32) * ksp,
-                        -1,
-                    )
-                )
+                .set(jnp.where(spilled_k, first_lane, -1))
             )
             safe = jnp.maximum(inv, 0)
             g_sp = (
