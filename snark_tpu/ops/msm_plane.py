@@ -170,7 +170,7 @@ class PlaneMsm:
         # max spilled buckets per call (top-k size); lanes are allocated
         # to them proportionally to overflow (see _bucket_accum_impl)
         self.spill_buckets = int(
-            os.environ.get("SNARK_TPU_MSM_SPILL_BUCKETS", "256")
+            os.environ.get("SNARK_TPU_MSM_SPILL_BUCKETS", "2048")
         )
         self._sums = jax.jit(self._window_sums_impl)
         self._combine = jax.jit(self._combine_impl)
@@ -301,6 +301,10 @@ class PlaneMsm:
         # the main scan — correct even if > S2 buckets exceed T1.
         S = self.spill_lanes
         S2 = min(self.spill_buckets, max(1, S // 4))
+        # S2 trades main-scan length against spill granularity: t* is the
+        # S2-th largest bucket length, so larger S2 keeps the main scan
+        # shorter on uniform inputs while skewed inputs still spread over
+        # all S lanes proportionally
         use_spill = S > 0 and lanes > S
         if use_spill:
             mean = max(1, n // nb if self.signed else n // max(1, nb))
@@ -431,22 +435,32 @@ class PlaneMsm:
             )
             # collapse each bucket's chunk partials into its FIRST spill
             # lane: segmented suffix-sum over the lane axis — masked adds
-            # where the rolled-in lane still belongs to the same bucket
-            sacc3 = (sX, sY, sZ)
-            st = 1
-            while st < S:
+            # where the rolled-in lane still belongs to the same bucket.
+            # lax.while_loop with the TRACED bound max(lanes per bucket):
+            # uniform inputs need ~2-4 doubling steps, not log2(S)=14
+            # (a static full chain cost -18% on the uniform 2^20 bench)
+            max_lpb = jnp.max(lanes_b)
+            lane_ids = jnp.arange(S, dtype=jnp.int32)
+
+            def sf_cond(state):
+                return state[0] < max_lpb
+
+            def sf_body(state):
+                st, aX, aY, aZ = state
                 rolled = tuple(
-                    jnp.roll(a, -st, axis=1) for a in sacc3
+                    jnp.roll(a, -st, axis=1) for a in (aX, aY, aZ)
                 )
                 same = (
-                    (b_of == jnp.roll(b_of, -st))
-                    & (jnp.arange(S, dtype=jnp.int32) + st < S)
+                    (b_of == jnp.roll(b_of, -st)) & (lane_ids + st < S)
                 )
-                sacc3 = self.madd(
-                    *sacc3, *rolled, same.reshape(1, S).astype(F32)
+                aX, aY, aZ = self.madd(
+                    aX, aY, aZ, *rolled, same.reshape(1, S).astype(F32)
                 )
-                st *= 2
-            sX, sY, sZ = sacc3
+                return st * 2, aX, aY, aZ
+
+            _, sX, sY, sZ = jax.lax.while_loop(
+                sf_cond, sf_body, (jnp.int32(1), sX, sY, sZ)
+            )
             # fold spill partials back: inverse map lane -> spill slot
             # (bucket b's total sits at its first lane, cum_pad[b]/chunk)
             first_lane = (jnp.take(cum_pad, jnp.arange(S2)) // chunk).astype(
