@@ -172,6 +172,21 @@ class PlaneMsm:
         self.spill_buckets = int(
             os.environ.get("SNARK_TPU_MSM_SPILL_BUCKETS", "2048")
         )
+        # batch-affine bucket accumulation (ops/msm_affine.py): pairwise
+        # affine tree + per-level batch inversion; needs a few elements
+        # per bucket on average to beat the projective scan's setup.
+        # Default OFF: measured 0.86x of the projective scan at 2^20
+        # uniform AND clustered (r5 A/B, scripts/bench_affine_msm.py) —
+        # the phase-split HBM round-trips + per-kernel overheads offset
+        # the ~2x arithmetic win; see ROADMAP.md for the measured
+        # breakdown and what would close the gap.
+        # G2 affine is TPU-only: XLA:CPU deterministically SEGFAULTS
+        # compiling the full-width emu form of the G2 phase kernels
+        # (fresh-process repro, r5).
+        self.use_affine = os.environ.get(
+            "SNARK_TPU_MSM_AFFINE", "0"
+        ) == "1" and not (group == "g2" and jax.default_backend() == "cpu")
+        self._affine = None
         self._sums = jax.jit(self._window_sums_impl)
         self._combine = jax.jit(self._combine_impl)
 
@@ -233,7 +248,7 @@ class PlaneMsm:
         three f32 plane gathers 3x. The f32 cast + transpose back to plane
         layout is bandwidth-cheap.
         """
-        acc3 = self._bucket_accum_impl(table, digits_t)
+        acc3 = self._bucket_accum(table, digits_t)
         tX, tY, tZ = self._fold_block(acc3, jnp.int32(0), self.W)
         pad = self.tile - self.W % self.tile if self.W % self.tile else 0
         if pad:
@@ -242,13 +257,12 @@ class PlaneMsm:
             tZ = jnp.pad(tZ, ((0, 0), (0, pad)))
         return tX, tY, tZ
 
-    def _bucket_accum_impl(self, table, digits_t):
-        """Phases 1-3 (sort, searchsorted, masked scan + spill fold):
-        -> (X, Y, Z) bucket accumulators over all W·2^cb replica lanes."""
-        c = self.c
+    def _sorted_buckets(self, table, digits_t):
+        """Phases 1-2 (sort + searchsorted): -> (table_p, perm_flat,
+        start_f, length_f, n) shared by the projective scan and the
+        affine-tree accumulator (ops/msm_affine.py)."""
         nb = 1 << self.cb
         W, n = digits_t.shape
-        KR = self.K * self.pc.R8
         lanes = W * nb
         assert W == self.W, (W, self.W)
         assert lanes % self.tile == 0, (W, nb, self.tile)
@@ -259,13 +273,6 @@ class PlaneMsm:
             f"table has {table.shape[0]} rows; plan with N={n} digits"
             f" requires {n}"
         )
-        one_np = np.concatenate(
-            [self.pc.pf.ONE_MONT_COL]
-            + [np.zeros_like(self.pc.pf.ONE_MONT_COL)] * (self.K - 1),
-            axis=0,
-        )
-        one_col = jnp.asarray(one_np)  # (K·R8, 1)
-
         keys, payload = self.sort_keys(digits_t)
         d_sorted, perm = jax.lax.sort_key_val(keys, payload, dimension=-1)
 
@@ -283,6 +290,74 @@ class PlaneMsm:
             )
         length_f = length.reshape(lanes)
         start_f = start.reshape(lanes)
+
+        # width-pad once per call (in-jit; ~bandwidth-free) so gathered
+        # blocks feed the in-kernel decode directly
+        table_p = jnp.pad(table, ((0, 0), (0, self.rows_w - table.shape[1])))
+        return table_p, perm.reshape(W * n), start_f, length_f, n
+
+    def _bucket_accum(self, table, digits_t):
+        """Bucket accumulation dispatch: the batch-affine tree when the
+        mean bucket length (n / 2^cb) is >= ~8 (it needs a few elements
+        per bucket to amortize its block padding), the masked projective
+        scan otherwise. Both produce identical (X, Y, Z) accumulator
+        lanes (group-element-equal; digit representations differ)."""
+        n = digits_t.shape[1]
+        if self.use_affine and n >= (8 << self.cb):
+            return self._bucket_accum_affine(table, digits_t)
+        return self._bucket_accum_impl(table, digits_t)
+
+    def _bucket_accum_impl(self, table, digits_t):
+        """Phases 1-3 (sort, searchsorted, masked scan + spill fold):
+        -> (X, Y, Z) bucket accumulators over all W·2^cb replica lanes."""
+        nb = 1 << self.cb
+        W, n = digits_t.shape
+        table_p, perm_flat, start_f, length_f, _ = self._sorted_buckets(
+            table, digits_t
+        )
+        lanes = W * nb
+        lane_base = (jnp.arange(lanes, dtype=jnp.int32) // nb) * n
+        return self._run_scan(
+            table_p, perm_flat, lane_base, start_f, length_f, n,
+            mean_hint=max(1, n // nb),
+        )
+
+    def _bucket_accum_affine(self, table, digits_t):
+        """Affine-tree bucket accumulation (ops/msm_affine.py): pairwise
+        batch-affine adds over per-bucket aligned blocks, then the masked
+        projective scan over the per-block partials."""
+        from .msm_affine import AffineAccum
+
+        nb = 1 << self.cb
+        W, n = digits_t.shape
+        table_p, perm_flat, start_f, length_f, _ = self._sorted_buckets(
+            table, digits_t
+        )
+        if self._affine is None:
+            self._affine = AffineAccum(self)
+        # sentinel identity row at index n (all-zero: flag byte 0) for
+        # out-of-range padded slots
+        table_s = jnp.concatenate(
+            [table_p, jnp.zeros((1, table_p.shape[1]), table_p.dtype)],
+            axis=0,
+        )
+        return self._affine.accumulate(
+            table_s, perm_flat, start_f, length_f, n,
+            mean_len=max(1, n // nb),
+        )
+
+    def _run_scan(
+        self, table_p, perm_flat, lane_base, start_f, length_f, n,
+        mean_hint: int,
+    ):
+        """Phase 3: masked-add scan (+ rank-split spill) over per-lane
+        element runs. Generic over the element source: lane l scans
+        perm_flat[lane_base[l] + start_f[l] + i] for i < length_f[l],
+        gathering u8 rows from table_p. Used by the per-bucket sorted-run
+        scan (lane_base = window offsets, perm = sort payload) and by the
+        affine path's per-block partial scan (lane_base = 0, perm =
+        identity)."""
+        lanes = start_f.shape[0]
 
         # ---- spill scheduling (scatter-free load balancing) --------------
         # The while-loop trip count is the MAX bucket length; the mean is
@@ -307,7 +382,7 @@ class PlaneMsm:
         # all S lanes proportionally
         use_spill = S > 0 and lanes > S
         if use_spill:
-            mean = max(1, n // nb if self.signed else n // max(1, nb))
+            mean = mean_hint
             T1 = int(mean + max(2, int(1.5 * mean**0.5)))
             top_vals, top_idx = jax.lax.top_k(length_f, S2)
             kth = top_vals[S2 - 1]
@@ -321,10 +396,6 @@ class PlaneMsm:
         max_len = jnp.max(eff_len)
 
         acc = self.identity_planes(lanes)
-
-        # width-pad once per call (in-jit; ~bandwidth-free) so gathered
-        # blocks feed the in-kernel decode directly
-        table_p = jnp.pad(table, ((0, 0), (0, self.rows_w - table.shape[1])))
 
         KS = self.k_steps
         offs = jnp.arange(KS, dtype=jnp.int32)
@@ -343,14 +414,9 @@ class PlaneMsm:
         # flat 1-D perm gather: take_along_axis on (W, N) lowers to a
         # minor-axis lane gather (~42 ns/idx measured — 3.4 ms/step at
         # 81920 lanes); the flat row-style gather is ~10x cheaper
-        perm_flat = perm.reshape(W * n)
-        win_base = (
-            jnp.arange(lanes, dtype=jnp.int32) // nb
-        ) * n  # window offset per lane
-
         def step_idx(i):
             pos = jnp.minimum(start_f[:, None] + (i + offs)[None, :], n - 1)
-            return jnp.take(perm_flat, win_base[:, None] + pos)
+            return jnp.take(perm_flat, lane_base[:, None] + pos)
 
         # software-pipelined scan: the gather for the NEXT k_steps block is
         # issued before the fused adds consume the previous gather, so
@@ -406,7 +472,8 @@ class PlaneMsm:
             bidx_l = jnp.take(top_idx, b_of)  # bucket lane index per spill lane
             sp_start = jnp.take(start_f, bidx_l) + T1 + o_l
             sp_len = jnp.clip(ov_l - o_l, 0, chunk)
-            sp_win = (bidx_l // nb).astype(jnp.uint32)  # window of each lane
+            # element-source base of each spilled bucket's lane
+            sp_base = jnp.take(lane_base, bidx_l).astype(jnp.uint32)
             sp_max = jnp.max(sp_len)
             sacc = self.identity_planes(S)
 
@@ -414,7 +481,7 @@ class PlaneMsm:
                 pos = jnp.minimum(sp_start[:, None] + (j + offs)[None, :], n - 1)
                 return jnp.take(
                     perm_flat,
-                    (sp_win * n)[:, None] + pos.astype(jnp.uint32),
+                    sp_base[:, None] + pos.astype(jnp.uint32),
                 )
 
             def sp_cond(state):
@@ -642,7 +709,10 @@ def get_plane_msm(
     # old k, and k_steps=None vs an equal explicit k compile twice
     if k_steps is None:
         k_steps = int(os.environ.get("SNARK_TPU_MSM_K", "1"))
-    key = (curve.name, c, num_bits, tile, interpret, group, signed, k_steps)
+    key = (
+        curve.name, c, num_bits, tile, interpret, group, signed, k_steps,
+        os.environ.get("SNARK_TPU_MSM_AFFINE", "0"),
+    )
     plan = _PLANS.get(key)
     if plan is None:
         plan = PlaneMsm(

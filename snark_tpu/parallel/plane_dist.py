@@ -120,7 +120,7 @@ class DistPlaneMsm:
 
                 return jax.lax.fori_loop(1, ndev, body, (g[0, 0], g[0, 1], g[0, 2]))
 
-            acc3 = plan._bucket_accum_impl(tbl_local, dt_local)
+            acc3 = plan._bucket_accum(tbl_local, dt_local)
             KR = acc3[0].shape[0]
             B = wpd * nb  # lanes per window block
             st = jnp.stack(acc3).reshape(3, KR, ndev, B)
