@@ -19,6 +19,7 @@ all MSMs on device; the verifier pairs on host.
 
 from __future__ import annotations
 
+import os
 import random
 from dataclasses import dataclass, field
 from typing import Any
@@ -69,6 +70,8 @@ from .qap import (
     domain_size_for,
     evaluate_variable_polys_at_tau,
 )
+from .qap_device import evaluate_uvw_device, powers_device
+from ..fields.device import get_device_field
 
 
 @dataclass
@@ -340,6 +343,10 @@ class Groth16:
             len(scalars) >= plane_min
             and os.environ.get("SNARK_TPU_SETUP_PLANE", "1") == "1"
         )
+        if isinstance(scalars, np.ndarray) and not use_plane:
+            # device-QAP limbs (standard form) -> host ints for the
+            # legacy small-vector fixed-base path
+            scalars = self.fr.from_limbs_array(scalars)
         if use_plane:
             fb = get_plane_fixed_base(self.curve, group)
             if os.environ.get("SNARK_TPU_SETUP_DEVICE_PACK", "1") == "1":
@@ -385,7 +392,6 @@ class Groth16:
         cs.set_mode(SynthesisMode.setup())
         circuit.generate_constraints(cs)
         cs.finalize()
-        matrices = cs.to_matrices()[R1CS_PREDICATE_LABEL]
         nc = cs.num_constraints()
         ni = cs.num_instance_variables
         nw = cs.num_witness_variables
@@ -399,27 +405,65 @@ class Groth16:
         delta = fr.rand(rng)
         tau = fr.rand(rng)
 
-        u, v, w, z_tau = evaluate_variable_polys_at_tau(
-            self.curve.fr, matrices, nc, ni, m, tau
-        )
         p = fr.p
         gamma_inv = fr.inv(gamma)
         delta_inv = fr.inv(delta)
 
-        gamma_abc = [
-            (beta * u[i] + alpha * v[i] + w[i]) % p * gamma_inv % p
-            for i in range(ni)
-        ]
-        l_scalars = [
-            (beta * u[i] + alpha * v[i] + w[i]) % p * delta_inv % p
-            for i in range(ni, m)
-        ]
-        zd = z_tau * delta_inv % p
-        h_scalars = []
-        t_pow = 1
-        for _ in range(n - 1):
-            h_scalars.append(t_pow * zd % p)
-            t_pow = t_pow * tau % p
+        # instance map: device QAP (vectorized CSR extraction + device
+        # Lagrange/batch-inverse/powers, groth16/qap_device.py) with the
+        # pure-Python path as fallback + oracle (SNARK_TPU_SETUP_DEVICE_QAP=0)
+        inner = cs.inner
+        coo_abc = inner.to_coo_arrays(R1CS_PREDICATE_LABEL)
+        interner_values = inner.field_interner.values
+        dev = (
+            evaluate_uvw_device(
+                self.curve.fr, coo_abc, interner_values, nc, ni, m, tau
+            )
+            if os.environ.get("SNARK_TPU_SETUP_DEVICE_QAP", "1") == "1"
+            else None
+        )
+        if dev is not None:
+            dfr = get_device_field(self.curve.fr)
+            u_m, v_m, w_m, z_tau = dev
+            beta_c = dfr.const(beta)[None, :]
+            alpha_c = dfr.const(alpha)[None, :]
+            s_m = dfr.add_impl(
+                dfr.add_impl(
+                    dfr.mul_impl(u_m, beta_c), dfr.mul_impl(v_m, alpha_c)
+                ),
+                w_m,
+            )
+            gabc_m = dfr.mul_impl(s_m[:ni], dfr.const(gamma_inv)[None, :])
+            l_m = dfr.mul_impl(s_m[ni:], dfr.const(delta_inv)[None, :])
+            zd = z_tau * delta_inv % p
+            h_m = powers_device(dfr, tau, n - 1, scale=zd)
+            # standard-form limb arrays feed the fixed-base digit
+            # extraction directly (no Python-int round trip)
+            u_scalars = np.asarray(dfr.from_mont(u_m))
+            v_scalars = np.asarray(dfr.from_mont(v_m))
+            l_scalars = np.asarray(dfr.from_mont(l_m))
+            h_scalars = np.asarray(dfr.from_mont(h_m))
+            gamma_abc = dfr.to_host_ints(gabc_m)
+        else:
+            matrices = cs.to_matrices()[R1CS_PREDICATE_LABEL]
+            u, v, w, z_tau = evaluate_variable_polys_at_tau(
+                self.curve.fr, matrices, nc, ni, m, tau
+            )
+            gamma_abc = [
+                (beta * u[i] + alpha * v[i] + w[i]) % p * gamma_inv % p
+                for i in range(ni)
+            ]
+            l_scalars = [
+                (beta * u[i] + alpha * v[i] + w[i]) % p * delta_inv % p
+                for i in range(ni, m)
+            ]
+            zd = z_tau * delta_inv % p
+            h_scalars = []
+            t_pow = 1
+            for _ in range(n - 1):
+                h_scalars.append(t_pow * zd % p)
+                t_pow = t_pow * tau % p
+            u_scalars, v_scalars = u, v
 
         # G1/G2 queries + u8 MSM row tables via device fixed-base MSM.
         # Large setups run on the fused-Pallas plane path (one u8 row
@@ -432,9 +476,9 @@ class Groth16:
         # NTT's h pipeline emits h in bit-reversed order; coeff n-1 is
         # structurally zero and has no query point -> identity row)
         h_perm = [int(rev[k]) if rev[k] < n - 1 else -1 for k in range(n)]
-        a_query, a_tbl = self._query_and_table(u)
-        b_g1_query, b_g1_tbl = self._query_and_table(v)
-        b_g2_query, b_g2_tbl = self._query_and_table(v, group="g2")
+        a_query, a_tbl = self._query_and_table(u_scalars)
+        b_g1_query, b_g1_tbl = self._query_and_table(v_scalars)
+        b_g2_query, b_g2_tbl = self._query_and_table(v_scalars, group="g2")
         h_query, h_tbl = self._query_and_table(h_scalars, perm=h_perm)
         l_query, l_tbl = self._query_and_table(l_scalars)
         gamma_abc_pts = self.g1_ops.to_affine_host(
@@ -453,11 +497,17 @@ class Groth16:
         )
 
         # device matrices for the prover (padded CSR; includes only the
-        # real constraint rows — consistency rows are appended at prove time)
+        # real constraint rows — consistency rows are appended at prove
+        # time). Vectorized COO construction on the device-QAP path.
         fr_params = self.curve.fr
-        mat_a = PaddedCsr.from_rows(matrices[0], fr_params, nc)
-        mat_b = PaddedCsr.from_rows(matrices[1], fr_params, nc)
-        mat_c = PaddedCsr.from_rows(matrices[2], fr_params, nc)
+        if dev is not None:
+            mat_a = PaddedCsr.from_coo(coo_abc[0], interner_values, fr_params, nc)
+            mat_b = PaddedCsr.from_coo(coo_abc[1], interner_values, fr_params, nc)
+            mat_c = PaddedCsr.from_coo(coo_abc[2], interner_values, fr_params, nc)
+        else:
+            mat_a = PaddedCsr.from_rows(matrices[0], fr_params, nc)
+            mat_b = PaddedCsr.from_rows(matrices[1], fr_params, nc)
+            mat_c = PaddedCsr.from_rows(matrices[2], fr_params, nc)
 
         pk = ProvingKey(
             vk=vk,

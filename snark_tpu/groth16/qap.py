@@ -135,6 +135,36 @@ class PaddedCsr:
         coeffs = df.array(vals).reshape(num_rows, width, -1)
         return PaddedCsr(jnp.asarray(cols), coeffs, num_rows)
 
+    @staticmethod
+    def from_coo(coo, interner_values, params: FieldParams, num_rows: int):
+        """Vectorized construction from ConstraintSystem.to_coo_arrays
+        output — no per-entry Python (the 2^24 setup path). Identical
+        semantics to from_rows over the same matrix: absent slots get
+        (col 0, coeff 0); coefficient id len(interner_values) is the
+        extraction's literal-zero convention."""
+        indptr, col, cid = coo
+        df = get_compute_field(params)
+        lens = np.diff(indptr)
+        width = max(1, int(lens.max()) if len(lens) else 1)
+        nnz = int(indptr[-1])
+        row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        inner = np.arange(nnz, dtype=np.int64) - np.repeat(indptr[:-1], lens)
+        flat = row_of * width + inner
+        cols = np.zeros(num_rows * width, np.int32)
+        cols[flat] = col
+        zid = len(interner_values)
+        ids = np.full(num_rows * width, zid, np.int64)
+        ids[flat] = cid
+        vals_m = jnp.concatenate(
+            [df.array(list(interner_values)), df.array([0])], axis=0
+        )
+        coeffs = jnp.take(
+            vals_m, jnp.asarray(ids.reshape(num_rows, width)), axis=0
+        )
+        return PaddedCsr(
+            jnp.asarray(cols.reshape(num_rows, width)), coeffs, num_rows
+        )
+
 
 class WitnessMapPlan:
     """Jitted device pipeline: (A z, B z, C z) evals -> h coefficients."""

@@ -139,15 +139,19 @@ class PlaneFixedBase:
         return jax.lax.fori_loop(0, self.W, body, acc0)
 
     def _digits_padded(self, scalars):
-        fr = Fp(self.curve.fr)
+        """scalars: list of host ints OR an (N, L) uint32 standard-form
+        limbs array (the device-QAP setup path hands limbs straight
+        through — no Python-int round trip at 2^20+)."""
         n = len(scalars)
         chunk = self.chunk
         n_pad = -(-max(n, 1) // chunk) * chunk
-        return scalars_to_digits(
-            fr.to_limbs_array(list(scalars) + [0] * (n_pad - n)),
-            self.c,
-            self.num_bits,
-        ), n, n_pad
+        if isinstance(scalars, np.ndarray):
+            limbs = np.zeros((n_pad, scalars.shape[1]), scalars.dtype)
+            limbs[:n] = scalars
+        else:
+            fr = Fp(self.curve.fr)
+            limbs = fr.to_limbs_array(list(scalars) + [0] * (n_pad - n))
+        return scalars_to_digits(limbs, self.c, self.num_bits), n, n_pad
 
     # -- public API -------------------------------------------------------
     def affine(self, scalars: list[int]):

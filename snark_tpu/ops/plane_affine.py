@@ -134,7 +134,14 @@ class PlaneAffineCodec:
         self.group = group
         self.K = 1 if group == "g1" else 2
         self.pc = get_plane_curve(curve)
-        self.pf = pf = self.pc.pf
+        # EmuPlaneField: bit-identical value-level ops with ~5x smaller
+        # traced graphs than the RMW scratch formulation (conv = padded
+        # shifts, reduce = f32 GEMM) — the codec's jaxpr was the dominant
+        # trace/compile/cache-read cost of the whole setup (r5 profile:
+        # ~100 s tracing + ~60 s cache read per fresh process at 2^17)
+        from .plane_emu import get_emu_field
+
+        self.pf = pf = get_emu_field(curve.fq, EXTRA_DIGITS)
         p = curve.fq.modulus
         self.carry = jnp.asarray(pf.CARRY_SCALE)
         self.p2 = jnp.asarray(pf.P2_COL)
