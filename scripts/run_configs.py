@@ -293,13 +293,27 @@ def config5():
         # warm/compile on proof 0
         z0 = witness(circuits[0])
         g16._prove_from_assignment(pk, z0, fr.rand(rng), fr.rand(rng))
+        # pipeline: witness synthesis of proof i+1 runs on a worker thread
+        # while proof i's device MSMs execute (the main thread spends most
+        # of the prove blocked in device readbacks, where the GIL is
+        # released; the C++ synthesis engine releases it too). rng draws
+        # stay on the main thread in the original order (determinism).
+        import concurrent.futures as _cf
+
+        rs_pairs = [(fr.rand(rng), fr.rand(rng)) for _ in circuits]
         t0 = time.time()
-        proofs = [
-            g16._prove_from_assignment(pk, witness(c), fr.rand(rng), fr.rand(rng))
-            for c in circuits
-        ]
+        proofs = []
+        with _cf.ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(witness, circuits[0])
+            for i in range(B):
+                z = fut.result()
+                if i + 1 < B:
+                    fut = ex.submit(witness, circuits[i + 1])
+                proofs.append(
+                    g16._prove_from_assignment(pk, z, *rs_pairs[i])
+                )
         dt = time.time() - t0
-        mode = "plane-kernel loop (1 chip)"
+        mode = "plane-kernel loop (1 chip, witness prefetch)"
     ok = all(
         g16.verify(vk, [s], pf) for s, pf in list(enumerate(proofs))[:4]
     )
