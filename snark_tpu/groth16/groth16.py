@@ -70,7 +70,11 @@ from .qap import (
     domain_size_for,
     evaluate_variable_polys_at_tau,
 )
-from .qap_device import evaluate_uvw_device, powers_device
+from .qap_device import (
+    combine_uvw_device,
+    evaluate_uvw_device,
+    powers_device,
+)
 from ..fields.device import get_device_field
 
 
@@ -425,16 +429,9 @@ class Groth16:
         if dev is not None:
             dfr = get_device_field(self.curve.fr)
             u_m, v_m, w_m, z_tau = dev
-            beta_c = dfr.const(beta)[None, :]
-            alpha_c = dfr.const(alpha)[None, :]
-            s_m = dfr.add_impl(
-                dfr.add_impl(
-                    dfr.mul_impl(u_m, beta_c), dfr.mul_impl(v_m, alpha_c)
-                ),
-                w_m,
+            gabc_m, l_m = combine_uvw_device(
+                dfr, u_m, v_m, w_m, beta, alpha, gamma_inv, delta_inv, ni
             )
-            gabc_m = dfr.mul_impl(s_m[:ni], dfr.const(gamma_inv)[None, :])
-            l_m = dfr.mul_impl(s_m[ni:], dfr.const(delta_inv)[None, :])
             zd = z_tau * delta_inv % p
             h_m = powers_device(dfr, tau, n - 1, scale=zd)
             # standard-form limb arrays feed the fixed-base digit

@@ -7,7 +7,7 @@ residual of the r4 897 s config-3 setup (VERDICT r4 item 3, missing #2's
 2^24-pk blocker). Mirrors ark-groth16's generator role (SURVEY.md §2.3
 "groth16"); bit-exact vs the host path (tests/test_qap_device.py).
 
-Building blocks (all O(n) device work, O(log n) dispatch):
+Building blocks (all O(n) device work, O(log n) traced ops):
   * `powers_device`  — g^0..g^{n-1} by log-doubling (level k appends
     P·g^{2^k});
   * `batch_inverse_device` — Montgomery batch inversion as a product
@@ -17,9 +17,16 @@ Building blocks (all O(n) device work, O(log n) dispatch):
     gather + Montgomery mul + a segmented pairwise-add tree over the
     column-sorted COO entries (exact field adds — no limb-overflow
     bookkeeping), consuming ConstraintSystem.to_coo_arrays.
+
+Each public entry wraps its whole device computation in ONE jit per
+shape: the first (eager) formulation compiled one XLA program per op
+per width through the ~25 ms dispatch tunnel — 100+ tiny compiles and
+tens of minutes of setup stall at 2^20 (measured).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -30,20 +37,43 @@ from ..fields.params import FieldParams
 
 
 def powers_device(df, base: int, n: int, scale: int = 1):
-    """(scale·base^j) for j = 0..n-1 -> (n, L) Montgomery limbs."""
+    """(scale·base^j) for j = 0..n-1 -> (n, L) Montgomery limbs.
+
+    One jitted program per (field, n); the per-level step constants are
+    baked in (they depend on base, which is fresh per setup — the
+    program is shape-cached, the constants ride as inputs)."""
     p = df.params.modulus
-    x = df.array([scale % p])
+    steps = []
     k = 1
     while k < n:
-        step = df.const(pow(base, k, p))
-        x = jnp.concatenate([x, df.mul_impl(x, step[None, :])], axis=0)
+        steps.append(pow(base, k, p))
         k <<= 1
-    return x[:n]
+    steps_m = (
+        df.array(steps) if steps else jnp.zeros((0, df.L), jnp.uint32)
+    )
+    start = df.array([scale % p])
+    return _powers_jit(df, n)(start, steps_m)
 
 
-def batch_inverse_device(df, x):
-    """Elementwise inverse of (N, L) nonzero Montgomery limbs: product
-    tree up, one Fermat ladder at the root, expansion down."""
+@functools.lru_cache(maxsize=None)
+def _powers_jit(df, n: int):
+    @jax.jit
+    def run(start, steps_m):
+        x = start
+        k = 1
+        i = 0
+        while k < n:
+            x = jnp.concatenate(
+                [x, df.mul_impl(x, steps_m[i][None, :])], axis=0
+            )
+            k <<= 1
+            i += 1
+        return x[:n]
+
+    return run
+
+
+def _batch_inverse_body(df, x):
     levels = []
     while x.shape[0] > 1:
         ow = x.shape[0]
@@ -52,12 +82,24 @@ def batch_inverse_device(df, x):
         a, b = x[0::2], x[1::2]
         levels.append((a, b, ow))
         x = df.mul_impl(a, b)
-    inv = df.inv(x)
+    inv = df._pow_impl(x, df.params.modulus - 2)
     for a, b, ow in reversed(levels):
         il = df.mul_impl(inv, b)
         ir = df.mul_impl(inv, a)
         inv = jnp.stack([il, ir], axis=1).reshape(-1, df.L)[:ow]
     return inv
+
+
+def batch_inverse_device(df, x):
+    """Elementwise inverse of (N, L) nonzero Montgomery limbs: product
+    tree up, one Fermat ladder at the root, expansion down. One jit per
+    (field, N)."""
+    return _batch_inv_jit(df, x.shape[0])(x)
+
+
+@functools.lru_cache(maxsize=None)
+def _batch_inv_jit(df, n: int):
+    return jax.jit(lambda x: _batch_inverse_body(df, x))
 
 
 def lagrange_coeffs_device(params: FieldParams, n: int, tau: int):
@@ -68,14 +110,28 @@ def lagrange_coeffs_device(params: FieldParams, n: int, tau: int):
     p = params.modulus
     omega = params.root_of_unity(n)
     pows = powers_device(df, omega, n)
-    tau_m = jnp.broadcast_to(df.const(tau), pows.shape)
-    diffs = df.sub_impl(tau_m, pows)
-    if bool(np.any(~np.asarray(diffs).any(axis=1))):
-        return None
-    inv_d = batch_inverse_device(df, diffs)
     z_tau = (pow(tau, n, p) - 1) % p
     zn = z_tau * pow(n, -1, p) % p
-    return df.mul_impl(df.mul_impl(pows, df.const(zn)[None, :]), inv_d)
+    lag, on_domain = _lagrange_jit(df, n)(
+        pows, df.const(tau), df.const(zn)
+    )
+    if bool(on_domain):
+        return None
+    return lag
+
+
+@functools.lru_cache(maxsize=None)
+def _lagrange_jit(df, n: int):
+    @jax.jit
+    def run(pows, tau_c, zn_c):
+        tau_m = jnp.broadcast_to(tau_c, pows.shape)
+        diffs = df.sub_impl(tau_m, pows)
+        on_domain = jnp.any(~diffs.any(axis=1))
+        inv_d = _batch_inverse_body(df, diffs)
+        lag = df.mul_impl(df.mul_impl(pows, zn_c[None, :]), inv_d)
+        return lag, on_domain
+
+    return run
 
 
 def segment_sum_field(df, contrib, seg_sorted, num_segments: int):
@@ -92,40 +148,92 @@ def segment_sum_field(df, contrib, seg_sorted, num_segments: int):
     seg_np = np.asarray(seg_sorted)
     first = np.searchsorted(seg_np, seg_np, side="left")
     off = np.arange(nnz, dtype=np.int64) - first
-    seg_d = jnp.asarray(seg_np)
-    off_d = jnp.asarray(off)
-    x = contrib
-    k = 0
-    while (1 << k) < nnz:
-        stride = 1 << k
-        partner_seg = jnp.roll(seg_d, -stride)
-        valid = (
-            (jnp.arange(nnz) + stride < nnz)
-            & (partner_seg == seg_d)
-            & (off_d % (2 * stride) == 0)
-        )
-        rolled = jnp.roll(x, -stride, axis=0)
-        x = jnp.where(valid[:, None], df.add_impl(x, rolled), x)
-        k += 1
     pos = np.searchsorted(seg_np, np.arange(num_segments))
-    present = (pos < nnz) & (seg_np[np.minimum(pos, nnz - 1)] == np.arange(num_segments))
-    totals = jnp.take(x, jnp.asarray(np.minimum(pos, nnz - 1)), axis=0)
-    return jnp.where(jnp.asarray(present)[:, None], totals, 0)
+    present = (pos < nnz) & (
+        seg_np[np.minimum(pos, nnz - 1)] == np.arange(num_segments)
+    )
+    return _segsum_jit(df, nnz, num_segments)(
+        contrib,
+        jnp.asarray(seg_np),
+        jnp.asarray(off),
+        jnp.asarray(np.minimum(pos, nnz - 1)),
+        jnp.asarray(present),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _segsum_jit(df, nnz: int, num_segments: int):
+    @jax.jit
+    def run(contrib, seg_d, off_d, pos_d, present_d):
+        x = contrib
+        k = 0
+        while (1 << k) < nnz:
+            stride = 1 << k
+            partner_seg = jnp.roll(seg_d, -stride)
+            valid = (
+                (jnp.arange(nnz) + stride < nnz)
+                & (partner_seg == seg_d)
+                & (off_d % (2 * stride) == 0)
+            )
+            rolled = jnp.roll(x, -stride, axis=0)
+            x = jnp.where(valid[:, None], df.add_impl(x, rolled), x)
+            k += 1
+        totals = jnp.take(x, pos_d, axis=0)
+        return jnp.where(present_d[:, None], totals, 0)
+
+    return run
 
 
 def _coo_eval(df, values_m, indptr, col, cid, lag, num_vars: int):
     """Σ over entries: values[cid]·lag[row] accumulated per column."""
-    nnz = len(col)
     rows = np.repeat(
         np.arange(len(indptr) - 1, dtype=np.int64), np.diff(indptr)
     )
     order = np.argsort(col, kind="stable")
     col_s = col[order]
-    contrib = df.mul_impl(
-        jnp.take(values_m, jnp.asarray(cid[order]), axis=0),
-        jnp.take(lag, jnp.asarray(rows[order]), axis=0),
+    contrib = _contrib_jit(df, len(col))(
+        values_m, jnp.asarray(cid[order]), lag, jnp.asarray(rows[order])
     )
     return segment_sum_field(df, contrib, col_s, num_vars)
+
+
+@functools.lru_cache(maxsize=None)
+def _contrib_jit(df, nnz: int):
+    @jax.jit
+    def run(values_m, ids, lag, rows):
+        return df.mul_impl(
+            jnp.take(values_m, ids, axis=0), jnp.take(lag, rows, axis=0)
+        )
+
+    return run
+
+
+def combine_uvw_device(df, u_m, v_m, w_m, beta, alpha, gamma_inv, delta_inv, ni):
+    """s = β·u + α·v + w; -> (gamma_abc = s[:ni]·γ⁻¹, l = s[ni:]·δ⁻¹),
+    one jit per shape."""
+    return _combine_jit(df, u_m.shape[0], ni)(
+        u_m, v_m, w_m,
+        df.const(beta), df.const(alpha),
+        df.const(gamma_inv), df.const(delta_inv),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _combine_jit(df, m: int, ni: int):
+    @jax.jit
+    def run(u_m, v_m, w_m, beta_c, alpha_c, ginv_c, dinv_c):
+        s_m = df.add_impl(
+            df.add_impl(
+                df.mul_impl(u_m, beta_c[None, :]),
+                df.mul_impl(v_m, alpha_c[None, :]),
+            ),
+            w_m,
+        )
+        gabc = df.mul_impl(s_m[:ni], ginv_c[None, :])
+        l_m = df.mul_impl(s_m[ni:], dinv_c[None, :])
+        return gabc, l_m
+
+    return run
 
 
 def evaluate_uvw_device(
