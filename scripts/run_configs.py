@@ -22,6 +22,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# persistent compile cache: without it every config run re-pays every
+# TPU AOT compile (~30-80 s per program through the tunnel helper) —
+# r5's first 2^20 config-3 "fresh setup" was ~50% compiles for this
+# reason
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def config1():
     from snark_tpu.fields import BN254_FR, Fp

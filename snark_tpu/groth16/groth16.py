@@ -137,6 +137,11 @@ class ProvingKey:
         arkworks-layout byte codec (SURVEY.md §5 checkpoint/resume)."""
         from ..snark import serialize as ser
 
+        queries = {}
+        for name in ("a_query", "b_g1_query", "b_g2_query", "h_query", "l_query"):
+            v = getattr(self, name)
+            if v is not None:  # skipped under SNARK_TPU_SETUP_QUERY=0
+                queries[name] = np.asarray(v)
         np.savez_compressed(
             path,
             vk=np.frombuffer(ser.serialize_vk(self.vk), dtype=np.uint8),
@@ -147,11 +152,7 @@ class ProvingKey:
             delta_g1=np.frombuffer(
                 ser.serialize_g1(self.vk.curve, self.delta_g1), dtype=np.uint8
             ),
-            a_query=np.asarray(self.a_query),
-            b_g1_query=np.asarray(self.b_g1_query),
-            b_g2_query=np.asarray(self.b_g2_query),
-            h_query=np.asarray(self.h_query),
-            l_query=np.asarray(self.l_query),
+            **queries,
             a_tbl=np.asarray(self.a_tbl),
             b_g1_tbl=np.asarray(self.b_g1_tbl),
             b_g2_tbl=np.asarray(self.b_g2_tbl),
@@ -193,15 +194,18 @@ class ProvingKey:
                 int(z[prefix + "_cols"].shape[0]),
             )
 
+        def q(name):
+            return jnp.asarray(z[name]) if name in z else None
+
         return ProvingKey(
             vk=vk,
             beta_g1=beta_g1,
             delta_g1=delta_g1,
-            a_query=jnp.asarray(z["a_query"]),
-            b_g1_query=jnp.asarray(z["b_g1_query"]),
-            b_g2_query=jnp.asarray(z["b_g2_query"]),
-            h_query=jnp.asarray(z["h_query"]),
-            l_query=jnp.asarray(z["l_query"]),
+            a_query=q("a_query"),
+            b_g1_query=q("b_g1_query"),
+            b_g2_query=q("b_g2_query"),
+            h_query=q("h_query"),
+            l_query=q("l_query"),
             a_tbl=jnp.asarray(z["a_tbl"]),
             b_g1_tbl=jnp.asarray(z["b_g1_tbl"]),
             b_g2_tbl=jnp.asarray(z["b_g2_tbl"]),
@@ -352,12 +356,40 @@ class Groth16:
             # legacy small-vector fixed-base path
             scalars = self.fr.from_limbs_array(scalars)
         if use_plane:
-            fb = get_plane_fixed_base(self.curve, group)
+            # bigger chunks amortize per-chunk dispatch/transfer overhead
+            # (2^24 setups run 2^18; the default 2^16 keeps small-setup
+            # compiles cheap and matches the cached program shapes)
+            fb = get_plane_fixed_base(
+                self.curve,
+                group,
+                chunk=int(os.environ.get("SNARK_TPU_SETUP_CHUNK", str(1 << 16))),
+            )
             if os.environ.get("SNARK_TPU_SETUP_DEVICE_PACK", "1") == "1":
                 # fully device-side affine conversion + packing (the r3
                 # host tail — bigint unpack + batch inversion + per-int
                 # repack — was the dominant setup cost; VERDICT r3 item 6)
-                rows, query_np = fb.rows_and_query(scalars)
+                # SNARK_TPU_SETUP_QUERY=0 skips the legacy u32 query
+                # arrays (only the ark-bytes pk codec and the dist
+                # prover's h re-table need them; halves codec transfer
+                # at 2^24 scale)
+                want_q = os.environ.get("SNARK_TPU_SETUP_QUERY", "1") == "1"
+                rows, query_np = fb.rows_and_query(
+                    scalars, want_query=want_q
+                )
+                if query_np is None:
+                    if perm is not None:
+                        ident = np.zeros((1, rows.shape[1]), np.uint8)
+                        KR8 = get_plane_curve(self.curve).R8 * fb.K
+                        ident[0, KR8 : KR8 + fb.pc.R8] = np.asarray(
+                            fb.pc.pf.ONE_MONT_COL[:, 0], np.uint8
+                        )
+                        pidx = np.asarray(perm)
+                        rows = np.where(
+                            (pidx >= 0)[:, None],
+                            rows[np.maximum(pidx, 0)],
+                            ident,
+                        )
+                    return None, jnp.asarray(rows)
                 if perm is not None:
                     ident = np.zeros((1, rows.shape[1]), np.uint8)
                     KR8 = get_plane_curve(self.curve).R8 * fb.K
@@ -390,12 +422,25 @@ class Groth16:
     def circuit_specific_setup(self, circuit, rng: random.Random):
         """-> (ProvingKey, VerifyingKey). Mirrors SNARK::circuit_specific_setup
         (snark/src/lib.rs:43-46) with the canonical call shape of SURVEY §3.1."""
+        import time as _time
+
+        _prof = os.environ.get("SNARK_TPU_SETUP_PROFILE") == "1"
+        _t0 = _time.time()
+
+        def _tick(label):
+            if _prof:
+                print(
+                    f"  setup[{label}]: {_time.time() - _t0:8.1f}s",
+                    flush=True,
+                )
+
         fr = self.fr
         cs = new_ref(fr)
         cs.set_optimization_goal(OptimizationGoal.Constraints)
         cs.set_mode(SynthesisMode.setup())
         circuit.generate_constraints(cs)
         cs.finalize()
+        _tick("synthesize+finalize")
         nc = cs.num_constraints()
         ni = cs.num_instance_variables
         nw = cs.num_witness_variables
@@ -419,6 +464,7 @@ class Groth16:
         inner = cs.inner
         coo_abc = inner.to_coo_arrays(R1CS_PREDICATE_LABEL)
         interner_values = inner.field_interner.values
+        _tick("coo extraction")
         dev = (
             evaluate_uvw_device(
                 self.curve.fr, coo_abc, interner_values, nc, ni, m, tau
@@ -441,6 +487,7 @@ class Groth16:
             l_scalars = np.asarray(dfr.from_mont(l_m))
             h_scalars = np.asarray(dfr.from_mont(h_m))
             gamma_abc = dfr.to_host_ints(gabc_m)
+            _tick("device QAP + scalars")
         else:
             matrices = cs.to_matrices()[R1CS_PREDICATE_LABEL]
             u, v, w, z_tau = evaluate_variable_polys_at_tau(
@@ -474,13 +521,19 @@ class Groth16:
         # structurally zero and has no query point -> identity row)
         h_perm = [int(rev[k]) if rev[k] < n - 1 else -1 for k in range(n)]
         a_query, a_tbl = self._query_and_table(u_scalars)
+        _tick("a_query")
         b_g1_query, b_g1_tbl = self._query_and_table(v_scalars)
+        _tick("b_g1_query")
         b_g2_query, b_g2_tbl = self._query_and_table(v_scalars, group="g2")
+        _tick("b_g2_query")
         h_query, h_tbl = self._query_and_table(h_scalars, perm=h_perm)
+        _tick("h_query")
         l_query, l_tbl = self._query_and_table(l_scalars)
+        _tick("l_query")
         gamma_abc_pts = self.g1_ops.to_affine_host(
             _fixed_base_g1(self.curve, gamma_abc)
         )
+        _tick("gamma_abc pts")
 
         g1 = self.hg1
         g2 = self.hg2

@@ -178,29 +178,33 @@ class PlaneFixedBase:
             zs = list(zip(unpack_ints_np(pf, Z[:R8]), unpack_ints_np(pf, Z[R8:])))
         return batch_to_affine_host(self.curve, xs, ys, zs, self.group)
 
-    def rows_and_query(self, scalars: list[int]):
+    def rows_and_query(self, scalars, want_query: bool = True):
         """[s_i]·G -> (np u8 MSM row table (N, 2·K·R8+1), np u32
-        legacy-Mont query (N, 3, K·L)) with the whole affine conversion
-        + packing ON DEVICE (ops/plane_affine.py): Fermat Z-inverse,
-        canonical digit packing, legacy limb regroup. Byte-identical to
-        pack_rows_u8_host/pack_affine_host over the host affine list
-        (tests/test_plane_affine.py)."""
+        legacy-Mont query (N, 3, K·L) or None) with the whole affine
+        conversion + packing ON DEVICE (ops/plane_affine.py): Fermat
+        Z-inverse, canonical digit packing, legacy limb regroup.
+        Byte-identical to pack_rows_u8_host/pack_affine_host over the
+        host affine list (tests/test_plane_affine.py).
+
+        All chunks are DISPATCHED before the first blocking readback so
+        chunk k+1's device work overlaps chunk k's host transfer;
+        want_query=False skips the legacy u32 arrays (large setups)."""
         from .plane_affine import get_plane_affine_codec
 
         codec = get_plane_affine_codec(self.curve, self.group)
         digits, n, n_pad = self._digits_padded(scalars)
         chunk = self.chunk
         tbl = self.table()
-        rows_out, q_out = [], []
+        handles = []
         for i in range(0, n_pad, chunk):
             X, Y, Z = self._run(tbl, jnp.asarray(digits[i : i + chunk]))
-            rows, q = codec.convert(X, Y, Z)
-            rows_out.append(rows)
-            q_out.append(q)
-        return (
-            np.concatenate(rows_out, axis=0)[:n],
-            np.concatenate(q_out, axis=0)[:n],
-        )
+            handles.append(codec.convert_async(X, Y, Z, want_query))
+        rows_out = [np.asarray(h[0]) for h in handles]
+        rows = np.concatenate(rows_out, axis=0)[:n]
+        if not want_query:
+            return rows, None
+        q_out = [np.asarray(h[1]) for h in handles]
+        return rows, np.concatenate(q_out, axis=0)[:n]
 
 
 _PLANS: dict = {}

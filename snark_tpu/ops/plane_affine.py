@@ -171,6 +171,9 @@ class PlaneAffineCodec:
         one_leg = self.df.params.to_limbs(r_n % p)
         self.one_leg = jnp.asarray(np.asarray(one_leg, np.uint32))  # (L,)
         self._run = jax.jit(self._impl)
+        # rows-only variant: large setups skip the legacy u32 query
+        # arrays entirely (halves codec compute + host transfer)
+        self._run_rows = jax.jit(lambda X, Y, Z: self._impl(X, Y, Z)[0])
 
     # -- Fq2 helpers (stacked (2R8, N) planes) ---------------------------
     def _mul2(self, a, b):
@@ -308,6 +311,13 @@ class PlaneAffineCodec:
         """-> (np u8 rows, np u32 query) for one chunk of planes."""
         rows, query = self._run(X, Y, Z)
         return np.asarray(rows), np.asarray(query)
+
+    def convert_async(self, X, Y, Z, want_query: bool = True):
+        """Dispatch-only variant: returns device handles so callers can
+        queue every chunk's work before the first blocking readback."""
+        if want_query:
+            return self._run(X, Y, Z)
+        return self._run_rows(X, Y, Z), None
 
 
 @functools.lru_cache(maxsize=None)
