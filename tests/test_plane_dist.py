@@ -25,8 +25,12 @@ from snark_tpu.parallel import make_mesh
 from snark_tpu.parallel.plane_dist import DistPlaneMsm, DistPlaneNtt
 
 
-@pytest.mark.slow
 def test_dist_plane_msm_matches_host():
+    # default-suite dist coverage (VERDICT r4 item 8): the production
+    # dist-MSM stack (window-block all_to_all + sharded folds) runs on
+    # the virtual 8-device mesh every CI run (~3 min warm-cached in its
+    # own per-file process; the full dist prover/NTT stay slow-marked
+    # and are exercised by the driver's multichip dryrun each round)
     ndev = 8
     mesh = make_mesh((ndev,), ("tp",))
     curve = BN254
