@@ -59,6 +59,22 @@ def main():
             stages["pk_save_s"] = round(time.time() - t1, 1)
     print(json.dumps({"stage": "setup", **stages}), flush=True)
 
+    if os.environ.get("CONFIG4_SETUP_ONLY") == "1":
+        print(
+            json.dumps(
+                {
+                    "config": 4,
+                    "desc": "2^24 proving-key generation, one real chip",
+                    "constraints": n,
+                    "domain": pk.domain_size,
+                    "setup_only": True,
+                    **stages,
+                }
+            ),
+            flush=True,
+        )
+        return
+
     os.environ.setdefault("SNARK_TPU_PROVE_PROFILE", "1")
     t0 = time.time()
     proof = g16.prove(pk, circuit, rng=random.Random(5))

@@ -73,6 +73,7 @@ from .qap import (
 from .qap_device import (
     combine_uvw_device,
     evaluate_uvw_device,
+    from_mont_chunked,
     powers_device,
 )
 from ..fields.device import get_device_field
@@ -389,6 +390,12 @@ class Groth16:
                             rows[np.maximum(pidx, 0)],
                             ident,
                         )
+                    if os.environ.get("SNARK_TPU_SETUP_HOST_TABLES") == "1":
+                        # 2^24-scale: keep tables host-resident (the five
+                        # device tables total ~7 GB — resident jnp arrays
+                        # would OOM the chip mid-setup; the prover
+                        # re-uploads/slices on use)
+                        return None, rows
                     return None, jnp.asarray(rows)
                 if perm is not None:
                     ident = np.zeros((1, rows.shape[1]), np.uint8)
@@ -482,10 +489,10 @@ class Groth16:
             h_m = powers_device(dfr, tau, n - 1, scale=zd)
             # standard-form limb arrays feed the fixed-base digit
             # extraction directly (no Python-int round trip)
-            u_scalars = np.asarray(dfr.from_mont(u_m))
-            v_scalars = np.asarray(dfr.from_mont(v_m))
-            l_scalars = np.asarray(dfr.from_mont(l_m))
-            h_scalars = np.asarray(dfr.from_mont(h_m))
+            u_scalars = np.asarray(from_mont_chunked(dfr, u_m))
+            v_scalars = np.asarray(from_mont_chunked(dfr, v_m))
+            l_scalars = np.asarray(from_mont_chunked(dfr, l_m))
+            h_scalars = np.asarray(from_mont_chunked(dfr, h_m))
             gamma_abc = dfr.to_host_ints(gabc_m)
             _tick("device QAP + scalars")
         else:

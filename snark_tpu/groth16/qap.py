@@ -141,7 +141,13 @@ class PaddedCsr:
         output — no per-entry Python (the 2^24 setup path). Identical
         semantics to from_rows over the same matrix: absent slots get
         (col 0, coeff 0); coefficient id len(interner_values) is the
-        extraction's literal-zero convention."""
+        extraction's literal-zero convention.
+
+        SNARK_TPU_SETUP_HOST_TABLES=1 keeps cols/coeffs host-resident
+        (numpy): at 2^24 the three coefficient arrays total ~6 GB and
+        would OOM the chip as resident device arrays."""
+        import os
+
         indptr, col, cid = coo
         df = get_compute_field(params)
         lens = np.diff(indptr)
@@ -155,6 +161,18 @@ class PaddedCsr:
         zid = len(interner_values)
         ids = np.full(num_rows * width, zid, np.int64)
         ids[flat] = cid
+        host = os.environ.get("SNARK_TPU_SETUP_HOST_TABLES") == "1"
+        if host:
+            from ..fields.host import Fp
+
+            f = Fp(params)
+            vals_np = np.asarray(
+                f.to_mont_limbs_array(list(interner_values) + [0])
+            )
+            coeffs = vals_np[ids.reshape(num_rows, width)]
+            return PaddedCsr(
+                cols.reshape(num_rows, width), coeffs, num_rows
+            )
         vals_m = jnp.concatenate(
             [df.array(list(interner_values)), df.array([0])], axis=0
         )

@@ -52,6 +52,38 @@ def _ceil_log2(n: int) -> int:
     return max(1, (n - 1).bit_length()) if n > 1 else 0
 
 
+# DeviceField.mul materializes the (N, L, 2L) limb outer product; at
+# 2^24 rows that is a 35 GB intermediate (OOM'd the 2^24 setup compile).
+# All full-width multiplies here run through this chunked wrapper: a
+# fori_loop over row blocks keeps the intermediate at block width while
+# still tracing ONE mul.
+_MUL_CHUNK = 1 << 19
+
+
+def _cmul(df, a, b):
+    n = a.shape[0]
+    if n <= _MUL_CHUNK:
+        return df.mul_impl(a, b)
+    chunk = _MUL_CHUNK
+    nchunks = -(-n // chunk)
+    pad = nchunks * chunk - n
+    a_p = jnp.pad(a, ((0, pad), (0, 0)))
+    b_p = jnp.broadcast_to(b, a.shape)
+    b_p = jnp.pad(b_p, ((0, pad), (0, 0)))
+
+    def body(i, out):
+        sa = jax.lax.dynamic_slice_in_dim(a_p, i * chunk, chunk)
+        sb = jax.lax.dynamic_slice_in_dim(b_p, i * chunk, chunk)
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, df.mul_impl(sa, sb), i * chunk, axis=0
+        )
+
+    out = jax.lax.fori_loop(
+        0, nchunks, body, jnp.zeros_like(a_p)
+    )
+    return out[:n]
+
+
 # ---------------------------------------------------------------------------
 # powers
 # ---------------------------------------------------------------------------
@@ -89,7 +121,7 @@ def _inclusive_prefix_mul(df, x):
     def body(k, arr):
         stride = jnp.left_shift(1, k)
         shifted = jnp.roll(arr, stride, axis=0)
-        prod = df.mul_impl(arr, shifted)
+        prod = _cmul(df, arr, shifted)
         return jnp.where((lanes >= stride)[:, None], prod, arr)
 
     return jax.lax.fori_loop(0, steps, body, x)
@@ -104,8 +136,8 @@ def _batch_inverse_body(df, x):
     suf_ex = jnp.concatenate([suf_inc[1:], one], axis=0)
     total = pre_inc[-1]
     t_inv = df._pow_impl(total[None, :], df.params.modulus - 2)
-    return df.mul_impl(
-        df.mul_impl(pre_ex, suf_ex), jnp.broadcast_to(t_inv, (n, df.L))
+    return _cmul(
+        df, _cmul(df, pre_ex, suf_ex), jnp.broadcast_to(t_inv, (n, df.L))
     )
 
 
@@ -130,7 +162,7 @@ def _powers_body(df, steps_m, scale_c, n: int, nbits: int):
 
     def body(i, x):
         use = ((lanes >> i.astype(jnp.uint32)) & 1) > 0
-        stepped = df.mul_impl(x, steps_m[i][None, :])
+        stepped = _cmul(df, x, steps_m[i][None, :])
         return jnp.where(use[:, None], stepped, x)
 
     return jax.lax.fori_loop(0, nbits, body, x0)
@@ -166,7 +198,7 @@ def _lagrange_jit(df, n: int, nbits: int):
         diffs = df.sub_impl(tau_m, pows)
         on_domain = jnp.any(~diffs.any(axis=1))
         inv_d = _batch_inverse_body(df, diffs)
-        lag = df.mul_impl(df.mul_impl(pows, zn_c[None, :]), inv_d)
+        lag = _cmul(df, _cmul(df, pows, zn_c[None, :]), inv_d)
         return lag, on_domain
 
     return run
@@ -266,8 +298,8 @@ def _coo_eval_jit(df, nnz: int, num_segments: int):
 
     @jax.jit
     def run(values_m, ids, lag, rows, seg_d, off_d, pos_d, present_d):
-        contrib = df.mul_impl(
-            jnp.take(values_m, ids, axis=0), jnp.take(lag, rows, axis=0)
+        contrib = _cmul(
+            df, jnp.take(values_m, ids, axis=0), jnp.take(lag, rows, axis=0)
         )
         lanes = jnp.arange(nnz, dtype=jnp.int32)
 
@@ -309,13 +341,13 @@ def _combine_jit(df, m: int, ni: int):
     def run(u_m, v_m, w_m, beta_c, alpha_c, ginv_c, dinv_c):
         s_m = df.add_impl(
             df.add_impl(
-                df.mul_impl(u_m, beta_c[None, :]),
-                df.mul_impl(v_m, alpha_c[None, :]),
+                _cmul(df, u_m, beta_c[None, :]),
+                _cmul(df, v_m, alpha_c[None, :]),
             ),
             w_m,
         )
-        gabc = df.mul_impl(s_m[:ni], ginv_c[None, :])
-        l_m = df.mul_impl(s_m[ni:], dinv_c[None, :])
+        gabc = _cmul(df, s_m[:ni], ginv_c[None, :])
+        l_m = _cmul(df, s_m[ni:], dinv_c[None, :])
         return gabc, l_m
 
     return run
@@ -366,3 +398,18 @@ def evaluate_uvw_device(
         )
     z_tau = (pow(tau, n, p) - 1) % p
     return uvw[0], uvw[1], uvw[2], z_tau
+
+
+def from_mont_chunked(df, x):
+    """Standard-form limbs of (N, L) Montgomery limbs, chunk-bounded
+    (df.from_mont is a mul by ONE and shares the outer-product blowup)."""
+    return _from_mont_jit(df, x.shape[0])(x)
+
+
+@functools.lru_cache(maxsize=None)
+def _from_mont_jit(df, n: int):
+    @jax.jit
+    def run(x):
+        return _cmul(df, x, df.ONE_STD[None, :])
+
+    return run
