@@ -171,9 +171,13 @@ def _powers_body(df, steps_m, scale_c, n: int, nbits: int):
 def lagrange_coeffs_device(params: FieldParams, n: int, tau: int):
     """L_j(τ) for the radix-2 domain of size n -> (n, L) Montgomery
     limbs on device, or None if τ lands on the domain (host fallback —
-    probability ~n/p). ω-powers, τ−ω^j, batch inversion and the final
-    scaling run as ONE program per n (each compile through the AOT
-    tunnel costs ~30-80 s; program count dominates fresh-setup time)."""
+    probability ~n/p).
+
+    Split into FOUR bounded programs (powers; diffs+flag; batch
+    inversion; final scaling) above 2^22: the fused single-program form
+    held ~10 live (n, L) buffers plus fori double-buffers and
+    kernel-faulted the TPU worker at 2^23/2^24 on the 16 GB chip.
+    Below that the fused program (fewer AOT compiles) is kept."""
     df = get_device_field(params)
     p = params.modulus
     omega = params.root_of_unity(n)
@@ -181,12 +185,39 @@ def lagrange_coeffs_device(params: FieldParams, n: int, tau: int):
     steps = [pow(omega, 1 << i, p) for i in range(nbits)]
     z_tau = (pow(tau, n, p) - 1) % p
     zn = z_tau * pow(n, -1, p) % p
-    lag, on_domain = _lagrange_jit(df, n, nbits)(
-        df.array(steps), df.const(tau), df.const(zn)
-    )
+    if n <= (1 << 22):
+        lag, on_domain = _lagrange_jit(df, n, nbits)(
+            df.array(steps), df.const(tau), df.const(zn)
+        )
+        if bool(on_domain):
+            return None
+        return lag
+    pows = _powers_jit(df, n, nbits)(df.array(steps), df.const(1))
+    diffs, on_domain = _diffs_jit(df, n)(pows, df.const(tau))
     if bool(on_domain):
         return None
-    return lag
+    inv_d = batch_inverse_device(df, diffs)
+    del diffs
+    return _lag_final_jit(df, n)(pows, inv_d, df.const(zn))
+
+
+@functools.lru_cache(maxsize=None)
+def _diffs_jit(df, n: int):
+    @jax.jit
+    def run(pows, tau_c):
+        diffs = df.sub_impl(jnp.broadcast_to(tau_c, pows.shape), pows)
+        return diffs, jnp.any(~diffs.any(axis=1))
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _lag_final_jit(df, n: int):
+    @jax.jit
+    def run(pows, inv_d, zn_c):
+        return _cmul(df, _cmul(df, pows, zn_c[None, :]), inv_d)
+
+    return run
 
 
 @functools.lru_cache(maxsize=None)
